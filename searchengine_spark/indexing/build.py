@@ -1,0 +1,263 @@
+"""Distributed inverted-index build (SURVEY.md §2 B1-B7, §7 Phase 2).
+
+Replaces the reference's SPIMI block/merge machinery
+(reference: engine/indexing/spimi.py:56-298) with Spark's shuffle: the
+repartition-by-range + sort-within-partitions *is* the blocked sort + k-way
+merge, with spill handled by the engine.  Hot-term skew is defused by range
+partitioning on the composite key (term, doc_id) — a stopword's postings
+spread across many partitions instead of hot-spotting one (the same effect as
+salting, chosen because it additionally yields globally term-sorted output
+for parquet min/max pruning).
+
+Artifacts (all parquet, under one index directory):
+  postings/      term, doc_id, tf, positions, wdt_bm25, wdt_tfidf_norm
+                 — range-partitioned and sorted by (term, doc_id) so term
+                 filters prune row groups; scoring weights are precomputed at
+                 build time so the query hot path never joins doc_stats
+                 (the reference recomputes wdt per posting per query,
+                 rankedquery.py:18-25 — its slow path)
+  doc_stats/     doc_id, title, doc_len, l2_weight (+ carried metadata cols)
+  term_stats/    term, df, cf, max_wdt_bm25 (broadcast at query time; plays
+                 the SQLite dictionary's role, spimi.py:25-29)
+  corpus_stats/  n_docs, total_tokens, avgdl (1 row)
+  manifest.json  per-stage lineage + build metrics (postings/sec, skew ratio)
+
+Resumability: each artifact write is idempotent and the manifest records
+completed stages; ``build_index(..., resume=True)`` skips stages whose
+artifact + manifest entry already exist.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..text.spark_tokenize import tokenize
+
+META_COLS = ("conv_id", "turn_idx", "role", "tool")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based doc_id over ORDER BY order_cols — the reference's
+    sequential docID contract (directorycorpus.py:64-79) — without a global
+    single-partition window.
+
+    Scale path: range-partition + sort, count rows per partition (tiny
+    driver-side collect of one long per partition), then
+    doc_id = partition_offset + row_number_within_partition - 1.
+    """
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = F.broadcast(
+        spark.createDataFrame([(pid, off) for pid, off in offsets.items()], "_pid int, _offset long")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(offsets_df, "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+    return out
+
+
+def prepare_transcripts(df: DataFrame) -> DataFrame:
+    """Transcript table (input_hint schema) -> docs: one turn = one document;
+    title = conv_id:turn_idx (SURVEY.md §1.3)."""
+    docs = assign_doc_ids(df)
+    return docs.withColumn("title", F.concat_ws(":", "conv_id", "turn_idx"))
+
+
+def _write(df: DataFrame, path: str, sort_partition: bool = False) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, out_dir: str, n_partitions: int | None = None):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_partitions = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.manifest_path = os.path.join(out_dir, "manifest.json")
+        self.manifest: dict = {"stages": {}, "metrics": {}}
+
+    # -- manifest / resume -------------------------------------------------
+    def _load_manifest(self) -> None:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                self.manifest = json.load(f)
+
+    def _save_manifest(self) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path)
+
+    def _stage_done(self, name: str) -> bool:
+        info = self.manifest["stages"].get(name)
+        if not info:
+            return False
+        path = os.path.join(self.out_dir, name)
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    def _mark_stage(self, name: str, **extra) -> None:
+        self.manifest["stages"][name] = {"completed_at": time.time(), **extra}
+        self._save_manifest()
+
+    # -- build --------------------------------------------------------------
+    def build(self, docs: DataFrame, resume: bool = False) -> dict:
+        """docs: (doc_id:long, text:string [, title, conv_id, turn_idx, role,
+        tool]).  Returns the manifest dict."""
+        t0 = time.time()
+        if resume:
+            self._load_manifest()
+
+        spark = self.spark
+        out = self.out_dir
+        meta_cols = [c for c in ("title", *META_COLS) if c in docs.columns]
+
+        docs = docs.persist()
+        n_docs = docs.count()
+
+        # tokens including empty terms (doc_length/L_d accounting,
+        # spimi.py:74-93)
+        tokens = tokenize(docs, text_col="text", id_col="doc_id")
+
+        # B1: (term, doc_id) aggregation — partial+final hash agg replaces the
+        # in-memory dict (postionalinvertedindex.py:26-41)
+        postings_all = tokens.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("position")).alias("positions"),
+        )
+
+        # B5/B6: per-doc stats (include the empty term, exclude nothing)
+        if not self._stage_done("doc_stats") or not resume:
+            doc_len = postings_all.groupBy("doc_id").agg(
+                F.sum("tf").alias("doc_len"),
+                F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), 2))).alias("l2_weight"),
+            )
+            doc_stats = docs.select("doc_id", *meta_cols).join(doc_len, "doc_id", "left").fillna(
+                {"doc_len": 0}
+            )
+            _write(doc_stats, os.path.join(out, "doc_stats"))
+            self._mark_stage("doc_stats")
+
+        doc_stats = spark.read.parquet(os.path.join(out, "doc_stats"))
+
+        # corpus stats (spimi.py:104-106; avgdl read at
+        # diskpositionalindex.py:139-154)
+        if not self._stage_done("corpus_stats") or not resume:
+            corpus = doc_stats.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_len").alias("total_tokens"),
+            ).withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+            _write(corpus, os.path.join(out, "corpus_stats"))
+            self._mark_stage("corpus_stats")
+
+        stats_row = spark.read.parquet(os.path.join(out, "corpus_stats")).collect()[0]
+        avgdl = float(stats_row["avgdl"])
+
+        # postings with precomputed per-mode document weights; empty term
+        # excluded from the index (spimi.py:137)
+        if not self._stage_done("postings") or not resume:
+            # K4/K3 precomputation: wdt_bm25 with k1=1.2, b=0.75 so
+            # 2.2 = k1+1 and 0.25 = 1-b (rankedquery.py:22,24)
+            postings = (
+                postings_all.filter(F.col("term") != "")
+                .join(doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id")
+                .withColumn(
+                    "wdt_bm25",
+                    (F.lit(2.2) * F.col("tf"))
+                    / (F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("doc_len") / F.lit(avgdl))) + F.col("tf")),
+                )
+                .withColumn(
+                    "wdt_tfidf_norm",
+                    (F.lit(1.0) + F.log("tf")) / F.col("l2_weight"),
+                )
+                .drop("doc_len", "l2_weight")
+            )
+            postings_sorted = postings.repartitionByRange(
+                self.n_partitions, "term", "doc_id"
+            ).sortWithinPartitions("term", "doc_id")
+            _write(postings_sorted, os.path.join(out, "postings"))
+            self._mark_stage("postings")
+
+        postings_df = spark.read.parquet(os.path.join(out, "postings"))
+
+        # B7 + block-max metadata: the broadcastable dictionary
+        if not self._stage_done("term_stats") or not resume:
+            term_stats = postings_df.groupBy("term").agg(
+                F.count("*").alias("df"),
+                F.sum("tf").alias("cf"),
+                F.max("wdt_bm25").alias("max_wdt_bm25"),
+                F.max("wdt_tfidf_norm").alias("max_wdt_tfidf_norm"),
+            )
+            _write(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), os.path.join(out, "term_stats"))
+            self._mark_stage("term_stats")
+
+        # build metrics (north rule: postings/sec, skew ratio, lineage)
+        elapsed = time.time() - t0
+        n_postings = postings_df.count()
+        total_tokens = int(stats_row["total_tokens"])
+        df_stats = (
+            spark.read.parquet(os.path.join(out, "term_stats"))
+            .agg(F.max("df").alias("max_df"), F.avg("df").alias("avg_df"))
+            .collect()[0]
+        )
+        self.manifest["metrics"] = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "n_postings": n_postings,
+            "build_seconds": elapsed,
+            "docs_per_sec": n_docs / elapsed if elapsed else None,
+            "postings_per_sec": n_postings / elapsed if elapsed else None,
+            "skew_ratio_max_df_over_avg_df": (df_stats["max_df"] / df_stats["avg_df"]) if df_stats["avg_df"] else None,
+            "n_partitions": self.n_partitions,
+            "avgdl": avgdl,
+        }
+        self._save_manifest()
+        docs.unpersist()
+        return self.manifest
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_partitions: int | None = None,
+    resume: bool = False,
+) -> dict:
+    return IndexBuilder(spark, out_dir, n_partitions).build(docs, resume=resume)
+
+
+def bm25_wqt(n_docs: int, df: int) -> float:
+    """K2 (rankedquery.py:12-13)."""
+    return max(0.1, math.log((n_docs - df + 0.5) / (df + 0.5)))
+
+
+def tfidf_wqt(n_docs: int, df: int) -> float:
+    """K1 (rankedquery.py:14-16)."""
+    return math.log(1 + n_docs / df)

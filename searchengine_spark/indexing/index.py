@@ -1,0 +1,61 @@
+"""Query-side handle over a built index directory (SURVEY.md §2 R1-R5).
+
+Retrieval maps the reference's dictionary-seek + record-decode
+(reference: engine/indexing/diskpositionalindex.py:45-114) onto parquet
+predicate pushdown + column pruning:
+  * ``postings(term in qterms)`` — filter pushed to the scan; the build wrote
+    postings range-partitioned and sorted by term, so row-group min/max stats
+    skip everything else (the "seek").
+  * non-phrase queries simply don't select ``positions`` — Catalyst column
+    pruning means the column is never read (the reference needs explicit
+    byte-skipping, diskpositionalindex.py:85-114).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SparkIndex:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        row = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.total_tokens = int(row["total_tokens"])
+        self.avgdl = float(row["avgdl"])
+
+    @property
+    def manifest(self) -> dict:
+        with open(os.path.join(self.index_dir, "manifest.json")) as f:
+            return json.load(f)
+
+    # R1/R2: postings scan; positions column pruned unless requested
+    def get_postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        cols = ["term", "doc_id", "tf", "wdt_bm25", "wdt_tfidf_norm"]
+        if with_positions:
+            cols.append("positions")
+        return self.postings.filter(F.col("term").isin(terms)).select(*cols)
+
+    # R4: vocabulary enumeration
+    def vocabulary(self) -> DataFrame:
+        return self.postings.select("term").distinct().orderBy("term")
+
+    # dictionary lookup for a handful of query terms: driver-side tiny collect
+    def term_stats_for(self, terms: list[str]) -> dict[str, dict]:
+        rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: r.asDict() for r in rows}
+
+    # R5: title attach — results are top-k (tiny), broadcast them into the
+    # join against doc_stats rather than shuffling doc_stats
+    def with_titles(self, results: DataFrame) -> DataFrame:
+        if "title" not in self.doc_stats.columns:
+            return results
+        return F.broadcast(results).join(self.doc_stats.select("doc_id", "title"), "doc_id", "left")

@@ -1,0 +1,91 @@
+"""Compile the Boolean query AST to a DataFrame plan (SURVEY.md §2 Q1-Q6).
+
+Operator mapping (cites into /root/reference):
+  TermLiteral  -> postings filter (termliteral.py:13-14)
+  AndQuery     -> n-ary inner join on doc_id; the reference's two-pointer
+                  sort-merge intersection (andquery.py:22-40) is exactly what
+                  Catalyst's sort-merge join does — and it broadcasts when one
+                  side is small, which the reference cannot
+  AND-NOT      -> left_anti join (andquery.py:17-19, notquery.py:9-13)
+  OrQuery      -> union + dropDuplicates; output is a set — the reference's
+                  insertion-order quirk (orquery.py:10-20, SURVEY.md §8.Q3)
+                  is documented as fixed
+  PhraseLiteral-> equi-join on doc_id + positional array intersection with
+                  carry-forward (phraseliteral.py:40-63):
+                  next_positions = array_intersect(transform(left, p->p+1),
+                                                   right.positions)
+Catalyst then optimizes the composed plan; only the ``positions`` column of
+phrase terms is ever read (column pruning = the reference's position-skipping
+flag, model.py:182-198).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..indexing.index import SparkIndex
+from .ast import And, Node, Not, Or, Phrase, Term
+from .parser import parse_query
+
+
+def _term_postings(index: SparkIndex, term: str, with_positions: bool) -> DataFrame:
+    cols = ["doc_id", "positions"] if with_positions else ["doc_id"]
+    return index.postings.filter(F.col("term") == term).select(*cols)
+
+
+def _compile_phrase(index: SparkIndex, terms: tuple[str, ...]) -> DataFrame:
+    """Left-fold positional adjacency join; carries matched positions
+    forward so k-term phrases compose (phraseliteral.py:31-37)."""
+    current = _term_postings(index, terms[0], with_positions=True)
+    for term in terms[1:]:
+        right = (
+            _term_postings(index, term, with_positions=True)
+            .withColumnRenamed("positions", "r_positions")
+        )
+        current = (
+            current.join(right, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform(F.col("positions"), lambda p: p + 1),
+                    F.col("r_positions"),
+                ).alias("positions"),
+            )
+            .filter(F.size("positions") > 0)
+        )
+    return current
+
+
+def compile_node(index: SparkIndex, node: Node) -> DataFrame:
+    """Returns a DataFrame with a single ``doc_id`` column (set semantics)."""
+    if isinstance(node, Term):
+        return _term_postings(index, node.term, with_positions=False)
+    if isinstance(node, Phrase):
+        return _compile_phrase(index, node.terms).select("doc_id")
+    if isinstance(node, Or):
+        out = compile_node(index, node.children[0])
+        for child in node.children[1:]:
+            out = out.unionByName(compile_node(index, child))
+        return out.dropDuplicates(["doc_id"])
+    if isinstance(node, And):
+        positive = [c for c in node.children if c.is_positive()]
+        negative = [c for c in node.children if not c.is_positive()]
+        if not positive:
+            return index.postings.sparkSession.createDataFrame([], "doc_id long")
+        out = compile_node(index, positive[0]).dropDuplicates(["doc_id"])
+        for child in positive[1:]:
+            out = out.join(compile_node(index, child).dropDuplicates(["doc_id"]), "doc_id")
+        for child in negative:
+            assert isinstance(child, Not)
+            out = out.join(compile_node(index, child.child), "doc_id", "left_anti")
+        return out
+    if isinstance(node, Not):
+        return index.postings.sparkSession.createDataFrame([], "doc_id long")
+    raise TypeError(f"unknown node {node!r}")
+
+
+def boolean_search(index: SparkIndex, raw_query: str) -> DataFrame:
+    """Parse + compile; returns DataFrame(doc_id) — compare as a set
+    (SURVEY.md §8.Q3)."""
+    return compile_node(index, parse_query(raw_query))
