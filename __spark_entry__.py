@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2) over the
+testdata ``documents`` / ``embeddings`` tables; ``oracle_sql()`` provides
+exact ANSI-SQL twins (searchengine_spark/duck_oracle.py) for the DuckDB gate.
+The full transcript-schema engine (index build, resume, rank-identity vs the
+single-node oracle) is exercised by tests/ — this file is the
+SQL-checkable surface.
 """
 
 from __future__ import annotations
@@ -12,27 +13,171 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark import duck_oracle as dk
+from searchengine_spark.engine_api import documents_engine
+from searchengine_spark.pipeline import (
+    cosine_topk,
+    dedup_exact,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from searchengine_spark.querying.boolean import boolean_search
+from searchengine_spark.querying.ranked import ranked_search
+from searchengine_spark.session import ensure_package_on_workers
+
+BOOL_AND_Q = "hash join"
+BOOL_AND_NOT_Q = "hash -join"
+BOOL_OR_Q = "merge + window"
+BOOL_PHRASE_Q = '"table scan"'
+RANKED_Q = "hash join spark"
 
 
+def _engine(spark: SparkSession, sf_dir: str):
+    ensure_package_on_workers(spark)
+    return documents_engine(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- core engine queries ----------------------------------------------------
+def q_tokenize(spark, sf_dir):
+    return _engine(spark, sf_dir).tokens.select(
+        "doc_id", F.col("position").cast("long").alias("position"), "term"
+    )
+
+
+def q_postings(spark, sf_dir):
+    e = _engine(spark, sf_dir)
+    return e.postings.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.element_at("positions", 1).cast("long").alias("first_pos"),
+        F.element_at("positions", -1).cast("long").alias("last_pos"),
+    )
+
+
+def q_term_stats(spark, sf_dir):
+    return _engine(spark, sf_dir).term_stats.select("term", "df", "cf")
+
+
+def q_doc_stats(spark, sf_dir):
+    return _engine(spark, sf_dir).doc_stats.select(
+        "doc_id", "doc_len", F.round("l2_weight", 4).alias("l2_r")
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    from searchengine_spark.indexing.logical import corpus_stats_table
+
+    e = _engine(spark, sf_dir)
+    return corpus_stats_table(e.doc_stats).select(
+        "n_docs", "total_tokens", F.round("avgdl", 4).alias("avgdl_r")
+    )
+
+
+def _bool(query):
+    def run(spark, sf_dir):
+        return boolean_search(_engine(spark, sf_dir), query)
+
+    return run
+
+
+def _ranked(query, mode, lang_filter=None):
+    def run(spark, sf_dir):
+        e = _engine(spark, sf_dir)
+        doc_filter = None
+        if lang_filter is not None:
+            doc_filter = e.docs.filter(F.col("lang") == lang_filter).select("doc_id")
+        return ranked_search(e, query, mode=mode, k=10, doc_filter=doc_filter, round_scores=4)
+
+    return run
+
+
+# --- training-data ops -------------------------------------------------------
+def q_token_count(spark, sf_dir):
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return cosine_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=10)
+
+
+# --- driver contract ----------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over sf0.001 documents."""
+    return _ranked(RANKED_Q, "bm25")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize": q_tokenize,
+        "postings": q_postings,
+        "term_stats": q_term_stats,
+        "doc_stats": q_doc_stats,
+        "corpus_stats": q_corpus_stats,
+        "bool_and": _bool(BOOL_AND_Q),
+        "bool_and_not": _bool(BOOL_AND_NOT_Q),
+        "bool_or": _bool(BOOL_OR_Q),
+        "bool_phrase": _bool(BOOL_PHRASE_Q),
+        "ranked_bm25": _ranked(RANKED_Q, "bm25"),
+        "ranked_tfidf": _ranked(RANKED_Q, "tfidf"),
+        "ranked_bm25_filtered": _ranked(RANKED_Q, "bm25", lang_filter="en"),
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize": dk.sql_tokenize(),
+        "postings": dk.sql_postings(),
+        "term_stats": dk.sql_term_stats(),
+        "doc_stats": dk.sql_doc_stats(),
+        "corpus_stats": dk.sql_corpus_stats(),
+        "bool_and": dk.sql_boolean(BOOL_AND_Q),
+        "bool_and_not": dk.sql_boolean(BOOL_AND_NOT_Q),
+        "bool_or": dk.sql_boolean(BOOL_OR_Q),
+        "bool_phrase": dk.sql_boolean(BOOL_PHRASE_Q),
+        "ranked_bm25": dk.sql_ranked(RANKED_Q, "bm25"),
+        "ranked_tfidf": dk.sql_ranked(RANKED_Q, "tfidf"),
+        "ranked_bm25_filtered": dk.sql_ranked(RANKED_Q, "bm25", lang_filter="en"),
+        "token_count": dk.sql_token_count(),
+        "quality_score": dk.sql_quality_score(),
+        "lang_id": dk.sql_lang_id(),
+        "fingerprint": dk.sql_fingerprint(),
+        "dedup_exact": dk.sql_dedup_exact(),
+        "ann_cosine_topk": dk.sql_cosine_topk(0, 10),
+    }

