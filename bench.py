@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Measures, on ``local[$SPARK_GRAFT_CPUS]`` over ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1):
+
+  1. index_build   — full persisted inverted-index build (tokenize ->
+                     postings shuffle -> segments + stats + manifest) over a
+                     deterministic synthetic transcript table sized to the SF
+                     (north rule: throughput in turns/sec), measured end to
+                     end including parquet writes.
+  2. headline queries — Boolean AND / phrase, BM25 / tf-idf top-10 against
+                     the persisted index, plus the training-data ops
+                     (dedup, MinHash-LSH, ANN cosine, token stats) over the
+                     testdata documents/embeddings tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# turns scale with SF: sf0.1 -> ~3000 convs (~22k turns)
+_SF_NAME = os.path.basename(SF_DIR.rstrip("/"))
+try:
+    SF = float(_SF_NAME.replace("sf", ""))
+except ValueError:
+    SF = 0.1
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(200, int(30000 * SF)))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from searchengine_spark.data.transcripts import generate_turns, spark_schema, turns_as_rows
+    from searchengine_spark.indexing.build import build_index, prepare_transcripts
+    from searchengine_spark.indexing.index import SparkIndex
+    from searchengine_spark.querying.boolean import boolean_search
+    from searchengine_spark.querying.ranked import ranked_search
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": CPUS, "sf_dir": SF_DIR, "n_convs": N_CONVS}
+
+    # -- 1. index build over synthetic transcripts (north-rule metric) -------
+    rows = turns_as_rows(generate_turns(N_CONVS, seed=42))
+    n_turns = len(rows)
+    extras["n_turns"] = n_turns
+    transcripts = spark.createDataFrame(rows, spark_schema())
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_index_")
+    t0 = time.perf_counter()
+    docs = prepare_transcripts(transcripts)
+    manifest = build_index(spark, docs, idx_dir)
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = t_build
+    extras["turns_per_sec"] = n_turns / t_build
+    extras["n_postings"] = manifest["metrics"]["n_postings"]
+    extras["skew_ratio"] = manifest["metrics"]["skew_ratio_max_df_over_avg_df"]
+
+    index = SparkIndex(spark, idx_dir)
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        n = fn()
+        timings[name] = time.perf_counter() - t
+        return n
+
+    # -- 2. index queries (persisted-index hot path) -------------------------
+    timed("bool_and", lambda: boolean_search(index, "search engine").count())
+    timed("bool_phrase", lambda: boolean_search(index, '"search engine"').count())
+    timed("bool_mixed", lambda: boolean_search(index, 'spark shuffle + "search engine" -error').count())
+    timed("ranked_bm25", lambda: ranked_search(index, "spark shuffle partition", mode="bm25", k=10).count())
+    timed("ranked_tfidf", lambda: ranked_search(index, "search engine index", mode="tfidf", k=10).count())
+    # repeat for p95-ish latency signal (warm)
+    lat = []
+    for _ in range(5):
+        t = time.perf_counter()
+        ranked_search(index, "spark shuffle partition", mode="bm25", k=10).count()
+        lat.append(time.perf_counter() - t)
+    extras["ranked_bm25_warm_best"] = min(lat)
+
+    # -- 3. training-data ops over testdata tables ---------------------------
+    qs = entrymod.queries()
+    for name in (
+        "token_count",
+        "quality_score",
+        "lang_id",
+        "fingerprint",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "ngram_jaccard",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+    ):
+        if name in qs:
+            timed(name, lambda name=name: qs[name](spark, SF_DIR).count())
+
+    total = sum(timings.values())
+    out = {
+        "metric": "index_build_plus_headline_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
+    }
+    print(json.dumps(out))
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

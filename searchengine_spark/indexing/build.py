@@ -154,8 +154,11 @@ class IndexBuilder:
         tokens = tokenize(docs, text_col="text", id_col="doc_id")
 
         # B1: (term, doc_id) aggregation — partial+final hash agg replaces the
-        # in-memory dict (postionalinvertedindex.py:26-41)
-        postings_all = postings_all_table(tokens)
+        # in-memory dict (postionalinvertedindex.py:26-41).  Persisted: every
+        # downstream artifact (doc_stats, weighted postings, the range
+        # partitioner's sampling pass) reuses this one tokenize+stem+agg run
+        # instead of re-executing the whole lineage per action.
+        postings_all = postings_all_table(tokens).persist()
 
         # B5/B6: per-doc stats (include the empty term, exclude nothing)
         if not self._stage_done("doc_stats") or not resume:
@@ -181,14 +184,29 @@ class IndexBuilder:
         if not self._stage_done("postings") or not resume:
             # K4/K3 precomputation: wdt_bm25 with k1=1.2, b=0.75 so
             # 2.2 = k1+1 and 0.25 = 1-b (rankedquery.py:22,24)
-            postings = weighted_postings_table(postings_all, doc_stats, avgdl)
+            postings = weighted_postings_table(postings_all, doc_stats, avgdl).persist()
             postings_sorted = postings.repartitionByRange(
                 self.n_partitions, "term", "doc_id"
             ).sortWithinPartitions("term", "doc_id")
             _write(postings_sorted, os.path.join(out, "postings"))
+            postings.unpersist()
             self._mark_stage("postings")
 
         postings_df = spark.read.parquet(os.path.join(out, "postings"))
+
+        # S5/B4: compressed block-max segments (delta+varbyte blobs; the
+        # reference's postings.bin, spimi.py:145-187, plus the varbyte the
+        # north rule adds).  Re-sorting after the parquet round-trip keeps
+        # each mapInPandas partition (term, doc_id)-sorted even when the
+        # reader packs multiple files into one split.
+        if not self._stage_done("segments") or not resume:
+            from .segments import encode_segments
+
+            seg_input = postings_df.repartitionByRange(
+                self.n_partitions, "term", "doc_id"
+            ).sortWithinPartitions("term", "doc_id")
+            _write(encode_segments(seg_input), os.path.join(out, "segments"))
+            self._mark_stage("segments")
 
         # B7 + block-max metadata: the broadcastable dictionary
         if not self._stage_done("term_stats") or not resume:
@@ -205,6 +223,14 @@ class IndexBuilder:
             .agg(F.max("df").alias("max_df"), F.avg("df").alias("avg_df"))
             .collect()[0]
         )
+        seg_stats = (
+            spark.read.parquet(os.path.join(out, "segments"))
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.sum(F.octet_length("postings_bin")).alias("bytes_compressed"),
+            )
+            .collect()[0]
+        )
         self.manifest["metrics"] = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
@@ -213,10 +239,13 @@ class IndexBuilder:
             "docs_per_sec": n_docs / elapsed if elapsed else None,
             "postings_per_sec": n_postings / elapsed if elapsed else None,
             "skew_ratio_max_df_over_avg_df": (df_stats["max_df"] / df_stats["avg_df"]) if df_stats["avg_df"] else None,
+            "n_segment_blocks": int(seg_stats["n_blocks"]),
+            "segment_bytes_compressed": int(seg_stats["bytes_compressed"] or 0),
             "n_partitions": self.n_partitions,
             "avgdl": avgdl,
         }
         self._save_manifest()
+        postings_all.unpersist()
         docs.unpersist()
         return self.manifest
 

@@ -33,6 +33,13 @@ class SparkIndex:
         self.avgdl = float(row["avgdl"])
 
     @property
+    def segments(self) -> DataFrame:
+        """Compressed block-max segments (built by segments.encode_segments)."""
+        if not hasattr(self, "_segments"):
+            self._segments = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        return self._segments
+
+    @property
     def manifest(self) -> dict:
         with open(os.path.join(self.index_dir, "manifest.json")) as f:
             return json.load(f)
