@@ -20,14 +20,24 @@ from searchengine_spark.engine_api import documents_engine
 from searchengine_spark.pipeline import (
     cosine_topk,
     dedup_exact,
+    dedup_minhash,
     fingerprint,
     lang_id,
+    lsh_cosine_topk,
+    multimodal_meta,
+    near_dup_embedding,
+    ngram_jaccard_pairs,
     quality_score,
+    simhash,
     token_count,
 )
 from searchengine_spark.querying.boolean import boolean_search
 from searchengine_spark.querying.ranked import ranked_search
+from searchengine_spark.querying.wand import ranked_search_wand
 from searchengine_spark.session import ensure_package_on_workers
+from searchengine_spark.text.spelling import spell_suggestions
+
+SPELL_WORDS = ["serch", "qery", "documant"]
 
 BOOL_AND_Q = "hash join"
 BOOL_AND_NOT_Q = "hash -join"
@@ -127,8 +137,49 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_dedup_minhash(spark, sf_dir):
+    return dedup_minhash(_docs(spark, sf_dir), n_hashes=12, band_size=3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, max_shingle_df=100)
+
+
+def q_near_dup_embedding(spark, sf_dir):
+    # testdata embeddings are near-orthogonal (max pairwise cos ~0.48), so the
+    # "near-dup" boundary for the contract corpus is 0.4 — non-vacuous at every SF
+    return near_dup_embedding(_embeddings(spark, sf_dir), threshold=0.4)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return multimodal_meta(_docs(spark, sf_dir))
+
+
+def q_spell_correct(spark, sf_dir):
+    e = _engine(spark, sf_dir)
+    return spell_suggestions(e.term_stats.select("term"), SPELL_WORDS, top_n=5)
+
+
+def q_vocabulary(spark, sf_dir):
+    return _engine(spark, sf_dir).term_stats.select("term").distinct().orderBy("term")
+
+
+def q_ranked_bm25_wand(spark, sf_dir):
+    return ranked_search_wand(_engine(spark, sf_dir), RANKED_Q, mode="bm25", k=10, round_scores=4)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return lsh_cosine_topk(
+        _embeddings(spark, sf_dir), query_vec_id=0, k=10, n_planes=4, n_tables=8, seed=42
+    )
 
 
 # --- driver contract ----------------------------------------------------------
@@ -151,12 +202,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_bm25": _ranked(RANKED_Q, "bm25"),
         "ranked_tfidf": _ranked(RANKED_Q, "tfidf"),
         "ranked_bm25_filtered": _ranked(RANKED_Q, "bm25", lang_filter="en"),
+        "ranked_bm25_wand": q_ranked_bm25_wand,
+        "vocabulary": q_vocabulary,
+        "spell_correct": q_spell_correct,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_embedding": q_near_dup_embedding,
+        "multimodal_meta": q_multimodal_meta,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -174,10 +234,19 @@ def oracle_sql() -> dict[str, str]:
         "ranked_bm25": dk.sql_ranked(RANKED_Q, "bm25"),
         "ranked_tfidf": dk.sql_ranked(RANKED_Q, "tfidf"),
         "ranked_bm25_filtered": dk.sql_ranked(RANKED_Q, "bm25", lang_filter="en"),
+        "ranked_bm25_wand": dk.sql_ranked(RANKED_Q, "bm25"),
+        "vocabulary": dk.sql_vocabulary(),
+        "spell_correct": dk.sql_spell_correct(SPELL_WORDS, top_n=5),
         "token_count": dk.sql_token_count(),
         "quality_score": dk.sql_quality_score(),
         "lang_id": dk.sql_lang_id(),
         "fingerprint": dk.sql_fingerprint(),
         "dedup_exact": dk.sql_dedup_exact(),
+        "dedup_minhash": dk.sql_dedup_minhash(12, 3),
+        "dedup_simhash": dk.sql_simhash(32),
+        "ngram_jaccard": dk.sql_ngram_jaccard(0.5, 100),
+        "near_dup_embedding": dk.sql_near_dup_embedding(0.4),
+        "multimodal_meta": dk.sql_multimodal_meta(),
         "ann_cosine_topk": dk.sql_cosine_topk(0, 10),
+        "ann_lsh_topk": dk.sql_lsh_topk(0, 10, 4, 8, 42, 64),
     }

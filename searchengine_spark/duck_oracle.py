@@ -244,6 +244,165 @@ def sql_dedup_exact() -> str:
     )
 
 
+_SHINGLE_CTES = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(words) >= 3
+                THEN list_transform(range(1, len(words) - 1),
+                                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                ELSE [array_to_string(words, ' ')] END) AS shingle
+  FROM w
+)"""
+
+
+def sql_dedup_minhash(n_hashes: int = 12, band_size: int = 3) -> str:
+    return f"""{_SHINGLE_CTES}
+, mh AS (
+  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {n_hashes})) AS j)
+  GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, j // {band_size} AS band, md5(string_agg(mh, ',' ORDER BY j)) AS band_key
+  FROM mh GROUP BY doc_id, j // {band_size}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+
+def sql_simhash(bits: int = 32) -> str:
+    bit = (
+        "CAST(floor((instr('0123456789abcdef',"
+        " substr(md5(word), CAST(32 - i // 4 AS INT), 1)) - 1) / pow(2, i % 4)) AS BIGINT) % 2"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS words
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(words) AS word FROM w) GROUP BY doc_id, word
+), contrib AS (
+  SELECT doc_id, i, tf * (2 * ({bit}) - 1) AS c
+  FROM tf CROSS JOIN (SELECT unnest(range(0, {bits})) AS i)
+), sgn AS (
+  SELECT doc_id, i, CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
+  FROM contrib GROUP BY doc_id, i
+)
+SELECT doc_id, CAST(sum(b * CAST(pow(2, i) AS BIGINT)) AS BIGINT) AS simhash
+FROM sgn GROUP BY doc_id"""
+
+
+def sql_ngram_jaccard(threshold: float = 0.5, max_shingle_df: int = 100) -> str:
+    return f"""{_SHINGLE_CTES}
+, rare AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_shingle_df})
+), sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM rare GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor((n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)) * 10000.0) / 10000.0 AS jaccard_r
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}"""
+
+
+def sql_near_dup_embedding(threshold: float = 0.95) -> str:
+    return f"""
+WITH sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(sim, 4) + 0.0 AS sim_r FROM sims
+WHERE round(sim, 4) + 0.0 >= {threshold}"""
+
+
+def sql_spell_correct(words: list[str], top_n: int = 5) -> str:
+    values = ", ".join(f"('{w}')" for w in words)
+    return (
+        base_ctes()
+        + f""",
+vocab AS (SELECT DISTINCT term FROM postings),
+q(word) AS (VALUES {values}),
+d AS (SELECT word, term, levenshtein(word, term)::INT AS dist FROM q CROSS JOIN vocab),
+r AS (SELECT word, term, dist,
+             row_number() OVER (PARTITION BY word ORDER BY dist, term)::INT AS rnk
+      FROM d)
+SELECT word, term, dist, rnk FROM r WHERE rnk <= {top_n}"""
+    )
+
+
+def sql_multimodal_meta() -> str:
+    return """
+WITH b AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS payload_md5
+           FROM documents)
+SELECT doc_id, n_bytes, payload_md5,
+       (1 + n_bytes % 640)::INT AS width,
+       (1 + (n_bytes * 7) % 480)::INT AS height,
+       (1 + n_bytes % 16)::INT AS n_frames
+FROM b"""
+
+
+def sql_lsh_topk(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Exact twin of pipeline.similarity.lsh_cosine_topk: the LCG hyperplane
+    constants are inlined, so DuckDB computes the same buckets, the same
+    candidate set, and the same re-ranked top-k."""
+    from .pipeline.similarity import _lcg_planes
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = _lcg_planes(n_planes, dim, seed + 7919 * t)
+        bits = []
+        for p, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {dim} + 1),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]))"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {2**p} ELSE 0 END)")
+        bucket_exprs.append("(" + " + ".join(bits) + f") AS bucket_{t}")
+    cond = " OR ".join(f"s.bucket_{t} = q.bucket_{t}" for t in range(n_tables))
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {", ".join(bucket_exprs)} FROM embeddings
+), qs AS (SELECT * FROM sig WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT s.vec_id, s.embedding FROM sig s, qs q WHERE ({cond}) AND s.vec_id != {query_vec_id}
+), qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+sims AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+                                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM cand c, qe q
+)
+SELECT vec_id, round(sim, 4) + 0.0 AS sim_r FROM sims
+ORDER BY round(sim, 4) + 0.0 DESC, vec_id LIMIT {k}"""
+
+
+def sql_vocabulary() -> str:
+    return base_ctes() + "\nSELECT DISTINCT term FROM postings ORDER BY term"
+
+
 def sql_cosine_topk(query_vec_id: int = 0, k: int = 10) -> str:
     return f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),

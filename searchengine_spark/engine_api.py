@@ -38,6 +38,19 @@ class DocumentsEngine:
         self.postings = weighted_postings_table(postings_all, self.doc_stats, self.avgdl).persist()
         self.term_stats = term_stats_table(self.postings)
 
+    @property
+    def segments(self) -> DataFrame:
+        """In-session compressed block-max segments (same layer the persisted
+        build writes; lets the WAND path run index-free)."""
+        if not hasattr(self, "_segments"):
+            from .indexing.segments import encode_segments
+
+            sorted_postings = self.postings.repartitionByRange(
+                8, "term", "doc_id"
+            ).sortWithinPartitions("term", "doc_id")
+            self._segments = encode_segments(sorted_postings).persist()
+        return self._segments
+
     # SparkIndex duck-type surface --------------------------------------
     def get_postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
         cols = ["term", "doc_id", "tf", "wdt_bm25", "wdt_tfidf_norm"]

@@ -1,13 +1,33 @@
+from .dedup import (
+    dedup_minhash,
+    minhash_bands,
+    minhash_signatures,
+    near_dup_embedding,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash,
+)
+from .multimodal import attach_payload, extract_meta, multimodal_meta
 from .similarity import cosine_topk, hyperplane_signatures, lsh_cosine_topk
 from .textops import dedup_exact, fingerprint, lang_id, quality_score, token_count
 
 __all__ = [
+    "attach_payload",
     "cosine_topk",
-    "hyperplane_signatures",
-    "lsh_cosine_topk",
     "dedup_exact",
+    "dedup_minhash",
+    "extract_meta",
     "fingerprint",
+    "hyperplane_signatures",
     "lang_id",
+    "lsh_cosine_topk",
+    "minhash_bands",
+    "minhash_signatures",
+    "multimodal_meta",
+    "near_dup_embedding",
+    "ngram_jaccard_pairs",
     "quality_score",
+    "shingle_table",
+    "simhash",
     "token_count",
 ]
