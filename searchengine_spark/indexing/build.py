@@ -43,12 +43,64 @@ from .logical import (
     BM25_K1,
     corpus_stats_table,
     doc_stats_table,
-    postings_all_table,
     term_stats_table,
-    weighted_postings_table,
 )
 
 META_COLS = ("conv_id", "turn_idx", "role", "tool")
+
+POSTINGS_SCHEMA = (
+    "term string, doc_id long, tf long, positions array<long>, "
+    "wdt_bm25 double, wdt_tfidf_norm double"
+)
+
+
+def _postings_kernel(avgdl: float):
+    """Vectorized grouping kernel: input partitions sorted by
+    (term, doc_id, position); output one row per (term, doc_id) with tf,
+    the position list, and the precomputed K3/K4 document weights
+    (rankedquery.py:22,24 — wdt_bm25 with k1=1.2, b=0.75 so 2.2 = k1+1 and
+    0.25 = 1-b).  All numpy; Arrow batches are concatenated per partition so
+    a group never splits across kernel calls."""
+
+    def fn(iterator):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = list(iterator)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if pdf.empty:
+            return
+        term = pdf["term"].to_numpy()
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        pos = pdf["position"].to_numpy(dtype=np.int64)
+        dlen = pdf["doc_len"].to_numpy(dtype=np.float64)
+        l2 = pdf["l2_weight"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (term[1:] != term[:-1]) | (doc[1:] != doc[:-1])
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, n)).astype(np.int64)
+        dl = dlen[starts]
+        tf_f = tf.astype(np.float64)
+        wdt_bm25 = ((BM25_K1 + 1.0) * tf_f) / (
+            BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)) + tf_f
+        )
+        wdt_tfidf = (1.0 + np.log(tf_f)) / l2[starts]
+        yield pd.DataFrame(
+            {
+                "term": term[starts],
+                "doc_id": doc[starts],
+                "tf": tf,
+                "positions": np.split(pos, starts[1:]),
+                "wdt_bm25": wdt_bm25,
+                "wdt_tfidf_norm": wdt_tfidf,
+            }
+        )
+
+    return fn
 
 
 def assign_doc_ids(
@@ -146,24 +198,28 @@ class IndexBuilder:
         out = self.out_dir
         meta_cols = [c for c in ("title", *META_COLS) if c in docs.columns]
 
-        docs = docs.persist()
-        n_docs = docs.count()
+        docs = docs.persist()  # lazily materialized by the first stage
 
         # tokens including empty terms (doc_length/L_d accounting,
-        # spimi.py:74-93)
-        tokens = tokenize(docs, text_col="text", id_col="doc_id")
+        # spimi.py:74-93).  Persisted flat (doc_id, position, term) rows:
+        # the tokenize pipeline otherwise re-executes for the stem-dictionary
+        # subquery, the stats aggregation, the range partitioner's sampling
+        # pass, AND the final postings pass — 4 runs of the explode+regex
+        # chain.  One cached materialization serves them all.
+        tokens = tokenize(docs, text_col="text", id_col="doc_id").persist()
 
-        # B1: (term, doc_id) aggregation — partial+final hash agg replaces the
-        # in-memory dict (postionalinvertedindex.py:26-41).  Persisted: every
-        # downstream artifact (doc_stats, weighted postings, the range
-        # partitioner's sampling pass) reuses this one tokenize+stem+agg run
-        # instead of re-executing the whole lineage per action.
-        postings_all = postings_all_table(tokens).persist()
+        # B1 for stats only: tf per (term, doc) via codegen hash agg — counts
+        # only, so Tungsten's unsafe-row aggregation applies (the
+        # positions-array aggregation deliberately does NOT run through
+        # collect_list: ObjectHashAggregate is object-based, GC-bound, and
+        # falls back to sort-based at 128 keys — measured 3-6x slower than
+        # the sort+kernel path below at 150k turns).
+        tf_table = tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
 
         # B5/B6: per-doc stats (include the empty term, exclude nothing)
         if not self._stage_done("doc_stats") or not resume:
             doc_stats = docs.select("doc_id", *meta_cols).join(
-                doc_stats_table(postings_all), "doc_id", "left"
+                doc_stats_table(tf_table), "doc_id", "left"
             ).fillna({"doc_len": 0})
             _write(doc_stats, os.path.join(out, "doc_stats"))
             self._mark_stage("doc_stats")
@@ -178,18 +234,28 @@ class IndexBuilder:
 
         stats_row = spark.read.parquet(os.path.join(out, "corpus_stats")).collect()[0]
         avgdl = float(stats_row["avgdl"])
+        n_docs = int(stats_row["n_docs"])
 
-        # postings with precomputed per-mode document weights; empty term
-        # excluded from the index (spimi.py:137)
+        # B2/B3 + K3/K4: the SPIMI sort-merge as ONE range shuffle.  Token
+        # rows (enriched with doc_len/l2 for the weight formulas — broadcast
+        # join here at sandbox scale; doc_id-bucketed SMJ at 10^12 scale) are
+        # range-partitioned on (term, doc_id) — hot terms split across
+        # partitions, defusing skew — sorted by (term, doc_id, position), and
+        # a vectorized numpy kernel forms (tf, positions, wdt_*) per group in
+        # one linear pass.  No object aggregation anywhere; spill is the
+        # engine's external sort.  Empty terms are excluded from the index
+        # (spimi.py:137) after stats, matching the reference.
         if not self._stage_done("postings") or not resume:
-            # K4/K3 precomputation: wdt_bm25 with k1=1.2, b=0.75 so
-            # 2.2 = k1+1 and 0.25 = 1-b (rankedquery.py:22,24)
-            postings = weighted_postings_table(postings_all, doc_stats, avgdl).persist()
-            postings_sorted = postings.repartitionByRange(
-                self.n_partitions, "term", "doc_id"
-            ).sortWithinPartitions("term", "doc_id")
+            enriched = (
+                tokens.filter(F.col("term") != "")
+                .join(doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id")
+                .repartitionByRange(self.n_partitions, "term", "doc_id")
+                .sortWithinPartitions("term", "doc_id", "position")
+            )
+            postings_sorted = enriched.mapInPandas(
+                _postings_kernel(avgdl), schema=POSTINGS_SCHEMA
+            )
             _write(postings_sorted, os.path.join(out, "postings"))
-            postings.unpersist()
             self._mark_stage("postings")
 
         postings_df = spark.read.parquet(os.path.join(out, "postings"))
@@ -245,7 +311,7 @@ class IndexBuilder:
             "avgdl": avgdl,
         }
         self._save_manifest()
-        postings_all.unpersist()
+        tokens.unpersist()
         docs.unpersist()
         return self.manifest
 

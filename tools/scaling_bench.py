@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the same job is run at two
+parallelism levels — local[8] (N) and local[32] (4N) — on the SAME input,
+each in its own fresh process/JVM (cold build, no shared cache), per the
+driver instruction.  Throughput = turns indexed / wall-clock build seconds;
+efficiency = (tp_4N / tp_N) / 4.  Query p95 latency over repeated runs of
+the reference query set is measured at both levels against the built index.
+
+Usage:
+  python tools/scaling_bench.py [--convs 12000] [--out BENCH.md]
+  python tools/scaling_bench.py --run-one CPUS PARQUET OUTDIR   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERY_SET = [
+    ("ranked_bm25", "spark shuffle partition"),
+    ("ranked_bm25", "the search engine index"),
+    ("ranked_bm25", "quick fox jump"),
+    ("ranked_tfidf", "tool bash error"),
+    ("boolean", 'hash join + "search engine" -error'),
+    ("boolean", '"quick fox"'),
+]
+QUERY_REPS = 4  # reps * 6 queries = 24 samples -> p95 well-defined
+
+
+def run_one(cpus: int, parquet: str, outdir: str) -> None:
+    from searchengine_spark.indexing.build import build_index, prepare_transcripts
+    from searchengine_spark.indexing.index import SparkIndex
+    from searchengine_spark.querying.boolean import boolean_search
+    from searchengine_spark.querying.ranked import ranked_search
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark(f"scaling_bench_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    transcripts = spark.read.parquet(parquet)
+    n_turns = transcripts.count()
+
+    t0 = time.perf_counter()
+    docs = prepare_transcripts(transcripts)
+    manifest = build_index(spark, docs, outdir)
+    build_s = time.perf_counter() - t0
+
+    index = SparkIndex(spark, outdir)
+    lat = []
+    for _ in range(QUERY_REPS):
+        for kind, q in QUERY_SET:
+            t = time.perf_counter()
+            if kind == "boolean":
+                boolean_search(index, q).count()
+            else:
+                ranked_search(index, q, mode=kind.split("_")[1], k=10).count()
+            lat.append(time.perf_counter() - t)
+    lat.sort()
+    p95 = lat[int(0.95 * len(lat)) - 1]
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "build_s": round(build_s, 2),
+                "turns_per_sec": round(n_turns / build_s, 1),
+                "postings_per_sec": round(manifest["metrics"]["n_postings"] / build_s, 1),
+                "query_p95_s": round(p95, 4),
+                "query_mean_s": round(sum(lat) / len(lat), 4),
+                "skew_ratio": round(manifest["metrics"]["skew_ratio_max_df_over_avg_df"], 3),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--run-one":
+        run_one(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
+
+    convs = 40000
+    reps = 2
+    out_md = os.path.join(REPO, "BENCH.md")
+    args = sys.argv[1:]
+    if "--convs" in args:
+        convs = int(args[args.index("--convs") + 1])
+    if "--reps" in args:
+        reps = int(args[args.index("--reps") + 1])
+    if "--out" in args:
+        out_md = args[args.index("--out") + 1]
+
+    from searchengine_spark.data.transcripts import write_parquet
+
+    parquet = f"/tmp/scaling_transcripts_{convs}.parquet"
+    if not os.path.exists(parquet):
+        n = write_parquet(parquet, convs, seed=42)
+        print(f"generated {n} turns -> {parquet}", flush=True)
+
+    def wait_quiet(threshold: float = 2.0, max_wait_s: int = 600) -> None:
+        """The sandbox host is shared; wait for a calm window so the
+        measurement reflects the job, not the neighbors."""
+        waited = 0
+        while waited < max_wait_s:
+            load1 = float(open("/proc/loadavg").read().split()[0])
+            if load1 < threshold:
+                return
+            time.sleep(15)
+            waited += 15
+
+    results = {}
+    for cpus in (8, 32):
+        best = None
+        for rep in range(reps):
+            outdir = f"/tmp/scaling_index_{cpus}"
+            shutil.rmtree(outdir, ignore_errors=True)
+            wait_quiet()
+            print(f"=== building at local[{cpus}] rep {rep} (cold process) ===", flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-one", str(cpus), parquet, outdir],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+            if not line:
+                print(proc.stdout[-3000:], proc.stderr[-3000:])
+                raise SystemExit(f"run at {cpus} cpus failed")
+            r = json.loads(line[0][len("RESULT "):])
+            print(r, flush=True)
+            if best is None or r["build_s"] < best["build_s"]:
+                best = r
+        results[cpus] = best
+
+    r8, r32 = results[8], results[32]
+    eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / (32 / 8)
+    q_speedup = r8["query_p95_s"] / r32["query_p95_s"] if r32["query_p95_s"] else float("nan")
+
+    md = f"""# BENCH — scaling efficiency (N vs 4N parallelism)
+
+North-rule evidence: the same index build + query job on the SAME input
+(deterministic transcript table, seed 42, {r8["n_turns"]} turns) at two
+parallelism levels, each a cold fresh process.  local[8] stands in for the
+N-executor cluster and local[32] for 4N, per the driver instruction.
+
+| metric | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| build wall-clock (s) | {r8["build_s"]} | {r32["build_s"]} |
+| index-build throughput (turns/sec) | {r8["turns_per_sec"]} | {r32["turns_per_sec"]} |
+| postings/sec | {r8["postings_per_sec"]} | {r32["postings_per_sec"]} |
+| query p95 latency (s, {len(QUERY_SET) * QUERY_REPS} samples) | {r8["query_p95_s"]} | {r32["query_p95_s"]} |
+| query mean latency (s) | {r8["query_mean_s"]} | {r32["query_mean_s"]} |
+| hot-term skew ratio (max_df/avg_df) | {r8["skew_ratio"]} | {r32["skew_ratio"]} |
+
+**Scaling efficiency (build throughput): (tp_4N / tp_N) / 4 = {eff:.3f}**
+(target >= 0.8 per BASELINE.json north_rule)
+
+Query p95 speedup at 4N: {q_speedup:.2f}x.
+
+Protocol notes:
+* best of N cold runs per level (the sandbox host is shared; each run waits
+  for a sub-2.0 one-minute load average before starting);
+* cold build per level: separate OS process, fresh JVM, no warm caches;
+* shuffle partitions sized to the core count at each level (8 / 32) the way
+  a real cluster submit would set spark.sql.shuffle.partitions;
+* the input parquet is pre-generated once so both levels read identical
+  bytes; per-turn text equality and rank-identity vs the oracle are covered
+  by tests/, not re-proven here.
+"""
+    with open(out_md, "w") as f:
+        f.write(md)
+    print(md)
+    print(f"wrote {out_md}")
+
+
+if __name__ == "__main__":
+    main()
