@@ -55,7 +55,7 @@ def base_ctes() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(list_transform(string_split(text, ' '), x -> trim(x)), x -> len(x) > 0) AS arr
+         list_filter(list_transform(string_split_regex(text, '[ \n]'), x -> trim(x)), x -> len(x) > 0) AS arr
   FROM documents
 ), pos_tok AS (
   SELECT doc_id, unnest(arr) AS tok, unnest(range(1, len(arr)+1))::BIGINT AS position FROM toks

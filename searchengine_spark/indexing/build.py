@@ -201,12 +201,11 @@ class IndexBuilder:
         docs = docs.persist()  # lazily materialized by the first stage
 
         # tokens including empty terms (doc_length/L_d accounting,
-        # spimi.py:74-93).  Persisted flat (doc_id, position, term) rows:
-        # the tokenize pipeline otherwise re-executes for the stem-dictionary
-        # subquery, the stats aggregation, the range partitioner's sampling
-        # pass, AND the final postings pass — 4 runs of the explode+regex
-        # chain.  One cached materialization serves them all.
-        tokens = tokenize(docs, text_col="text", id_col="doc_id").persist()
+        # spimi.py:74-93).  The post-cleaning type stream is cached
+        # (persist_types): the stem-dictionary subquery, the stats
+        # aggregation, the range partitioner's sampling pass, and the final
+        # postings pass would otherwise each re-run the explode+regex chain.
+        tokens = tokenize(docs, text_col="text", id_col="doc_id", persist_types=True)
 
         # B1 for stats only: tf per (term, doc) via codegen hash agg — counts
         # only, so Tungsten's unsafe-row aggregation applies (the
@@ -245,6 +244,7 @@ class IndexBuilder:
         # one linear pass.  No object aggregation anywhere; spill is the
         # engine's external sort.  Empty terms are excluded from the index
         # (spimi.py:137) after stats, matching the reference.
+        postings_cache = None
         if not self._stage_done("postings") or not resume:
             enriched = (
                 tokens.filter(F.col("term") != "")
@@ -252,27 +252,35 @@ class IndexBuilder:
                 .repartitionByRange(self.n_partitions, "term", "doc_id")
                 .sortWithinPartitions("term", "doc_id", "position")
             )
-            postings_sorted = enriched.mapInPandas(
+            # persisted so the segments stage encodes from the SAME sorted
+            # partitions — no second range shuffle (at cluster scale the
+            # equivalent is deriving segments from the just-written sorted
+            # files without re-shuffling)
+            postings_cache = enriched.mapInPandas(
                 _postings_kernel(avgdl), schema=POSTINGS_SCHEMA
-            )
-            _write(postings_sorted, os.path.join(out, "postings"))
+            ).persist()
+            _write(postings_cache, os.path.join(out, "postings"))
             self._mark_stage("postings")
 
         postings_df = spark.read.parquet(os.path.join(out, "postings"))
 
         # S5/B4: compressed block-max segments (delta+varbyte blobs; the
         # reference's postings.bin, spimi.py:145-187, plus the varbyte the
-        # north rule adds).  Re-sorting after the parquet round-trip keeps
-        # each mapInPandas partition (term, doc_id)-sorted even when the
-        # reader packs multiple files into one split.
+        # north rule adds) — encoded from the cached sorted postings when the
+        # stage runs in the same build, else from a re-sorted read-back.
         if not self._stage_done("segments") or not resume:
             from .segments import encode_segments
 
-            seg_input = postings_df.repartitionByRange(
-                self.n_partitions, "term", "doc_id"
-            ).sortWithinPartitions("term", "doc_id")
+            if postings_cache is not None:
+                seg_input = postings_cache
+            else:
+                seg_input = postings_df.repartitionByRange(
+                    self.n_partitions, "term", "doc_id"
+                ).sortWithinPartitions("term", "doc_id")
             _write(encode_segments(seg_input), os.path.join(out, "segments"))
             self._mark_stage("segments")
+        if postings_cache is not None:
+            postings_cache.unpersist()
 
         # B7 + block-max metadata: the broadcastable dictionary
         if not self._stage_done("term_stats") or not resume:
@@ -311,7 +319,8 @@ class IndexBuilder:
             "avgdl": avgdl,
         }
         self._save_manifest()
-        tokens.unpersist()
+        if hasattr(tokens, "_types_cache"):
+            tokens._types_cache.unpersist()
         docs.unpersist()
         return self.manifest
 

@@ -89,3 +89,44 @@ def boolean_search(index: SparkIndex, raw_query: str) -> DataFrame:
     """Parse + compile; returns DataFrame(doc_id) — compare as a set
     (SURVEY.md §8.Q3)."""
     return compile_node(index, parse_query(raw_query))
+
+
+def matches_expr(node: Node, tokens_col) -> "F.Column":
+    """Q7: the reference's ``matches()`` predicate — evaluate the AST against
+    a document's token set as a boolean column expression (AND=all, OR=any,
+    NOT=absent, phrase≈all terms present; the reference also approximates
+    phrases as AND here — andquery.py:45-46, orquery.py:25-26,
+    notquery.py:18-19, termliteral.py:19-20, phraseliteral.py:68-69).
+
+    Usable anywhere a scan-side filter beats an index round-trip: streaming
+    micro-batches before they are indexed, or role/tool-scoped scans."""
+    if isinstance(node, Term):
+        return F.array_contains(tokens_col, node.term)
+    if isinstance(node, Phrase):
+        expr = F.array_contains(tokens_col, node.terms[0])
+        for t in node.terms[1:]:
+            expr = expr & F.array_contains(tokens_col, t)
+        return expr
+    if isinstance(node, Not):
+        return ~matches_expr(node.child, tokens_col)
+    if isinstance(node, And):
+        expr = matches_expr(node.children[0], tokens_col)
+        for child in node.children[1:]:
+            expr = expr & matches_expr(child, tokens_col)
+        return expr
+    if isinstance(node, Or):
+        expr = matches_expr(node.children[0], tokens_col)
+        for child in node.children[1:]:
+            expr = expr | matches_expr(child, tokens_col)
+        return expr
+    raise TypeError(f"unknown node {node!r}")
+
+
+def matches_search(index: SparkIndex, raw_query: str) -> DataFrame:
+    """Scan-side evaluation of a Boolean query via matches_expr over each
+    doc's term set (rebuilt from postings) — the index-free fallback."""
+    node = parse_query(raw_query)
+    doc_terms = index.postings.groupBy("doc_id").agg(
+        F.collect_set("term").alias("_terms")
+    )
+    return doc_terms.filter(matches_expr(node, F.col("_terms"))).select("doc_id")

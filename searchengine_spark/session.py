@@ -45,7 +45,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # partition counts are explicitly managed (repartitionByRange sized
+        # to the core count); AQE's byte-based coalescing would squeeze the
+        # small-by-bytes but CPU-heavy shuffle stages (tokenize aggregations)
+        # down to 1-3 tasks and serialize the build — parallelismFirst
+        # protects explicit repartitions but not groupBy shuffles
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -49,17 +49,29 @@ def tokenize(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_stems: bool = True,
+    persist_types: bool = False,
 ) -> DataFrame:
     """(doc_id, text) -> (doc_id, position, term) including empty terms.
 
     Plan shape: project/explode only until the stem join; the stem dictionary
     is a distinct-aggregate of *types* (post-cleaning), typically tiny
     relative to the corpus, broadcast back onto the token stream.
+
+    persist_types=True caches the post-cleaning (doc_id, position, type)
+    stream: the stem-dictionary subquery and every downstream consumer then
+    reuse one execution of the explode+regex chain instead of re-running it
+    per action (the returned DataFrame carries the cache handle as
+    ``._types_cache`` for unpersisting).
     """
-    # T1: split on single space, strip each, drop empties (no position burn)
+    # T1: split on single space, strip each, drop empties (no position burn).
+    # Newlines also separate: the reference tokenizes line by line with a
+    # position counter running across lines (preprocessing.py:65-80), so a
+    # token can never span a line break — splitting on [ \n] reproduces that
+    # for multi-line docs (wholetext file sources) and is identity for the
+    # single-line transcript rows.
     raw_tokens = F.filter(
         F.transform(
-            F.split(F.col(text_col), " "),
+            F.split(F.col(text_col), "[ \n]"),
             lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
         ),
         lambda x: F.length(x) > 0,
@@ -80,19 +92,24 @@ def tokenize(
         (F.col("pos0") + 1).alias("position"),
         F.explode(variants).alias("variant"),
     ).select(id_col, "position", _clean_expr(F.col("variant")).alias("type"))
+    if persist_types:
+        types = types.persist()
 
     # T4: stem over the distinct-type dictionary, join back
     stem_map = types.select("type").distinct().withColumn("term", _stem_udf(F.col("type")))
     if broadcast_stems:
         stem_map = F.broadcast(stem_map)
-    return types.join(stem_map, "type").select(id_col, "position", "term")
+    out = types.join(stem_map, "type").select(id_col, "position", "term")
+    if persist_types:
+        out._types_cache = types
+    return out
 
 
 def tokenize_query_expr(text_col: Column) -> Column:
     """The same T1-T3 pipeline as a single array expression (no stemming) —
     used by tests and by matches()-style predicate evaluation (Q7)."""
     raw_tokens = F.filter(
-        F.transform(F.split(text_col, " "), lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")),
+        F.transform(F.split(text_col, "[ \n]"), lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")),
         lambda x: F.length(x) > 0,
     )
     variants = F.flatten(
