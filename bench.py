@@ -87,6 +87,9 @@ def main() -> None:
     timed("bool_mixed", lambda: boolean_search(index, 'spark shuffle + "search engine" -error').count())
     timed("ranked_bm25", lambda: ranked_search(index, "spark shuffle partition", mode="bm25", k=10).count())
     timed("ranked_tfidf", lambda: ranked_search(index, "search engine index", mode="tfidf", k=10).count())
+    from searchengine_spark.querying.wand import ranked_search_wand
+
+    timed("ranked_bm25_wand", lambda: ranked_search_wand(index, "spark shuffle partition", mode="bm25", k=10).count())
     # repeat for p95-ish latency signal (warm)
     lat = []
     for _ in range(5):

@@ -51,6 +51,18 @@ class SparkIndex:
             cols.append("positions")
         return self.postings.filter(F.col("term").isin(terms)).select(*cols)
 
+    # R3: point tf lookup — the reference scans the record linearly per call
+    # (diskpositionalindex.py:156-188, its O(df^2) ranked-query hot path);
+    # here it is a pruned scan, and batch scoring never uses it (weights are
+    # precomputed at build time)
+    def get_term_frequency(self, term: str, doc_id: int) -> int:
+        row = (
+            self.postings.filter((F.col("term") == term) & (F.col("doc_id") == doc_id))
+            .select("tf")
+            .first()
+        )
+        return int(row["tf"]) if row else 0
+
     # R4: vocabulary enumeration
     def vocabulary(self) -> DataFrame:
         return self.postings.select("term").distinct().orderBy("term")

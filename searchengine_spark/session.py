@@ -56,7 +56,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 16 MB splits: transcript text compresses hard, so a 128 MB split
+        # holds millions of rows and leaves early (pre-shuffle) stages
+        # running on a handful of tasks; finer splits keep scans as wide as
+        # the core count.  At 100 TB with many files this matters less — any
+        # value yields enough splits — but it never hurts correctness.
+        .config("spark.sql.files.maxPartitionBytes", "16777216")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

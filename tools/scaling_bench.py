@@ -90,14 +90,19 @@ def main() -> None:
 
     convs = 40000
     reps = 2
+    levels = (2, 8)
     out_md = os.path.join(REPO, "BENCH.md")
     args = sys.argv[1:]
     if "--convs" in args:
         convs = int(args[args.index("--convs") + 1])
     if "--reps" in args:
         reps = int(args[args.index("--reps") + 1])
+    if "--levels" in args:
+        levels = tuple(int(x) for x in args[args.index("--levels") + 1].split(","))
     if "--out" in args:
         out_md = args[args.index("--out") + 1]
+    n_level, xn_level = levels
+    factor = xn_level // n_level
 
     from searchengine_spark.data.transcripts import write_parquet
 
@@ -118,7 +123,7 @@ def main() -> None:
             waited += 15
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         best = None
         for rep in range(reps):
             outdir = f"/dev/shm/scaling_index_{cpus}"
@@ -157,18 +162,24 @@ def main() -> None:
                 best = r
         results[cpus] = best
 
-    r8, r32 = results[8], results[32]
-    eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / (32 / 8)
+    r8, r32 = results[n_level], results[xn_level]
+    eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / factor
     q_speedup = r8["query_p95_s"] / r32["query_p95_s"] if r32["query_p95_s"] else float("nan")
 
-    md = f"""# BENCH — scaling efficiency (N vs 4N parallelism)
+    md = f"""# BENCH — scaling efficiency (N vs {factor}N parallelism)
 
 North-rule evidence: the same index build + query job on the SAME input
 (deterministic transcript table, seed 42, {r8["n_turns"]} turns) at two
-parallelism levels, each a cold fresh process.  local[8] stands in for the
-N-executor cluster and local[32] for 4N, per the driver instruction.
+parallelism levels, each a cold fresh process pinned to its core budget.
+local[{n_level}] stands in for the N-executor cluster and local[{xn_level}]
+for {factor}N, per the driver instruction ("N and 4N cores").  Levels above
+~8 pinned cores are not honest on this host: `top` shows hypervisor steal
+time whenever more vCPUs are loaded, i.e. the VM's 32 vCPUs are backed by
+roughly 8-12 physical cores, and a local[32] run measures the hypervisor's
+throttle, not the engine's scaling (32-wide runs came out *slower* than
+8-wide on identical input).
 
-| metric | local[8] (N) | local[32] (4N) |
+| metric | local[{n_level}] (N) | local[{xn_level}] ({factor}N) |
 |---|---|---|
 | build wall-clock (s) | {r8["build_s"]} | {r32["build_s"]} |
 | index-build throughput (turns/sec) | {r8["turns_per_sec"]} | {r32["turns_per_sec"]} |
@@ -177,10 +188,10 @@ N-executor cluster and local[32] for 4N, per the driver instruction.
 | query mean latency (s) | {r8["query_mean_s"]} | {r32["query_mean_s"]} |
 | hot-term skew ratio (max_df/avg_df) | {r8["skew_ratio"]} | {r32["skew_ratio"]} |
 
-**Scaling efficiency (build throughput): (tp_4N / tp_N) / 4 = {eff:.3f}**
+**Scaling efficiency (build throughput): (tp_{factor}N / tp_N) / {factor} = {eff:.3f}**
 (target >= 0.8 per BASELINE.json north_rule)
 
-Query p95 speedup at 4N: {q_speedup:.2f}x.
+Query p95 speedup at {factor}N: {q_speedup:.2f}x.
 
 Protocol notes:
 * each run is pinned with ``taskset`` to exactly its core budget — without
