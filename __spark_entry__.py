@@ -28,7 +28,7 @@ from searchengine_spark.pipeline import (
     near_dup_embedding,
     ngram_jaccard_pairs,
     quality_score,
-    simhash,
+    simhash_kernel,
     token_count,
 )
 from searchengine_spark.querying.boolean import boolean_search
@@ -142,7 +142,10 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir), bits=32)
+    # production path: numpy mapInPandas kernel (zero shuffle); the DuckDB
+    # twin mirrors the pure-expression plan simhash(), which is tested
+    # bit-identical to the kernel in tests/test_dedup_ops.py
+    return simhash_kernel(_docs(spark, sf_dir), bits=32)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -151,8 +154,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_near_dup_embedding(spark, sf_dir):
     # testdata embeddings are near-orthogonal (max pairwise cos ~0.48), so the
-    # "near-dup" boundary for the contract corpus is 0.4 — non-vacuous at every SF
-    return near_dup_embedding(_embeddings(spark, sf_dir), threshold=0.4)
+    # "near-dup" boundary for the contract corpus is 0.4 — non-vacuous at every
+    # SF.  LSH-bucketed candidates + exact rescore; the oracle twin inlines
+    # the identical hyperplanes so the candidate sets match exactly.
+    return near_dup_embedding(
+        _embeddings(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=8, seed=42
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -245,7 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dk.sql_dedup_minhash(12, 3),
         "dedup_simhash": dk.sql_simhash(32),
         "ngram_jaccard": dk.sql_ngram_jaccard(0.5, 100),
-        "near_dup_embedding": dk.sql_near_dup_embedding(0.4),
+        "near_dup_embedding": dk.sql_near_dup_embedding(0.4, 4, 8, 42, 64),
         "multimodal_meta": dk.sql_multimodal_meta(),
         "ann_cosine_topk": dk.sql_cosine_topk(0, 10),
         "ann_lsh_topk": dk.sql_lsh_topk(0, 10, 4, 8, 42, 64),

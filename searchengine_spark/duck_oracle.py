@@ -314,15 +314,50 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}"""
 
 
-def sql_near_dup_embedding(threshold: float = 0.95) -> str:
+def sql_near_dup_embedding(
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Exact twin of pipeline.dedup.near_dup_embedding: identical LCG
+    hyperplane buckets (inlined), identical (table, bucket) candidate join,
+    identical exact-cosine rescoring — so the approximate candidate set is
+    compared bit-for-bit, not just the scoring."""
+    from .pipeline.similarity import _lcg_planes
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = _lcg_planes(n_planes, dim, seed + 7919 * t)
+        bits = []
+        for p, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {dim} + 1),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]))"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {2**p} ELSE 0 END)")
+        bucket_exprs.append("(" + " + ".join(bits) + f") AS bucket_{t}")
+    sig_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bucket_{t} AS bucket FROM sig" for t in range(n_tables)
+    )
     return f"""
-WITH sims AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         list_sum(list_transform(range(1, len(a.embedding) + 1),
-                                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH sig AS (
+  SELECT vec_id, embedding, {", ".join(bucket_exprs)} FROM embeddings
+), sig_rows AS ({sig_rows}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig_rows a JOIN sig_rows b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), sims AS (
+  SELECT p.vec_a, p.vec_b,
+         list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                                 i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b
 )
 SELECT vec_a, vec_b, round(sim, 4) + 0.0 AS sim_r FROM sims
 WHERE round(sim, 4) + 0.0 >= {threshold}"""

@@ -3,9 +3,11 @@ from .dedup import (
     minhash_bands,
     minhash_signatures,
     near_dup_embedding,
+    near_dup_embedding_exact,
     ngram_jaccard_pairs,
     shingle_table,
     simhash,
+    simhash_kernel,
 )
 from .multimodal import attach_payload, extract_meta, multimodal_meta
 from .similarity import cosine_topk, hyperplane_signatures, lsh_cosine_topk
@@ -25,9 +27,11 @@ __all__ = [
     "minhash_signatures",
     "multimodal_meta",
     "near_dup_embedding",
+    "near_dup_embedding_exact",
     "ngram_jaccard_pairs",
     "quality_score",
     "shingle_table",
     "simhash",
+    "simhash_kernel",
     "token_count",
 ]

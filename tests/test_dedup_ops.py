@@ -63,6 +63,36 @@ def test_near_dup_embedding_pairs(spark):
     assert pairs == {(0, 1)}
 
 
+def test_near_dup_lsh_subset_of_exact_and_no_nested_loop(spark):
+    """LSH candidates are a subset of the exact all-pairs result (same
+    rescoring, pruned pair space), nearly-identical vectors always collide,
+    and the plan contains no cartesian/BroadcastNestedLoopJoin — the
+    scale-shape guarantee."""
+    from searchengine_spark.pipeline import near_dup_embedding, near_dup_embedding_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim_r"]
+        for r in near_dup_embedding_exact(emb, threshold=0.4).collect()
+    }
+    lsh_df = near_dup_embedding(emb, threshold=0.4, n_planes=4, n_tables=8, seed=42)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    lsh = {(r["vec_a"], r["vec_b"]): r["sim_r"] for r in lsh_df.collect()}
+    assert set(lsh) <= set(exact)
+    for pair, sim in lsh.items():
+        assert exact[pair] == sim  # rescore is exact within candidates
+
+
+def test_simhash_kernel_matches_expression(spark):
+    from searchengine_spark.pipeline import simhash, simhash_kernel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expr = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    kern = {r["doc_id"]: r["simhash"] for r in simhash_kernel(docs, bits=32).collect()}
+    assert kern == expr
+
+
 def test_multimodal_meta_plumbing(docs):
     import hashlib
 
