@@ -51,6 +51,31 @@ def _engine(spark: SparkSession, sf_dir: str):
     return documents_engine(spark, sf_dir)
 
 
+_PINDEX_CACHE: dict = {}
+
+
+def _persisted_index(spark: SparkSession, sf_dir: str):
+    """Full production build path — assign nothing (documents carry doc_id),
+    run build_index (tokenize -> range shuffle -> _postings_kernel ->
+    varbyte segments -> parquet artifacts), then read it back as a
+    SparkIndex.  Gates built on this verify the persisted pipeline against
+    the DuckDB oracle, not just the in-session engine."""
+    import os
+
+    ensure_package_on_workers(spark)
+    key = (id(spark), sf_dir)
+    if key not in _PINDEX_CACHE:
+        from searchengine_spark.indexing.build import build_index
+        from searchengine_spark.indexing.index import SparkIndex
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        out = os.path.join(scratch, f"gate_index_{os.getpid()}_{tag}")
+        build_index(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), out)
+        _PINDEX_CACHE[key] = SparkIndex(spark, out)
+    return _PINDEX_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -176,7 +201,22 @@ def q_vocabulary(spark, sf_dir):
 
 
 def q_ranked_bm25_wand(spark, sf_dir):
-    return ranked_search_wand(_engine(spark, sf_dir), RANKED_Q, mode="bm25", k=10, round_scores=4)
+    # runs over the PERSISTED index: varbyte block-max segments read back
+    # from parquet, so the gate exercises codec + segment metadata too
+    return ranked_search_wand(
+        _persisted_index(spark, sf_dir), RANKED_Q, mode="bm25", k=10, round_scores=4
+    )
+
+
+def q_ranked_bm25_persisted(spark, sf_dir):
+    # the production build path (_postings_kernel + parquet read-back)
+    # under the same DuckDB oracle as the in-session ranked_bm25 gate
+    return ranked_search(_persisted_index(spark, sf_dir), RANKED_Q, mode="bm25", k=10, round_scores=4)
+
+
+def q_bool_phrase_persisted(spark, sf_dir):
+    # positions arrays produced by the numpy kernel, read back from parquet
+    return boolean_search(_persisted_index(spark, sf_dir), BOOL_PHRASE_Q)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -210,6 +250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_tfidf": _ranked(RANKED_Q, "tfidf"),
         "ranked_bm25_filtered": _ranked(RANKED_Q, "bm25", lang_filter="en"),
         "ranked_bm25_wand": q_ranked_bm25_wand,
+        "ranked_bm25_persisted": q_ranked_bm25_persisted,
+        "bool_phrase_persisted": q_bool_phrase_persisted,
         "vocabulary": q_vocabulary,
         "spell_correct": q_spell_correct,
         "token_count": q_token_count,
@@ -242,6 +284,8 @@ def oracle_sql() -> dict[str, str]:
         "ranked_tfidf": dk.sql_ranked(RANKED_Q, "tfidf"),
         "ranked_bm25_filtered": dk.sql_ranked(RANKED_Q, "bm25", lang_filter="en"),
         "ranked_bm25_wand": dk.sql_ranked(RANKED_Q, "bm25"),
+        "ranked_bm25_persisted": dk.sql_ranked(RANKED_Q, "bm25"),
+        "bool_phrase_persisted": dk.sql_boolean(BOOL_PHRASE_Q),
         "vocabulary": dk.sql_vocabulary(),
         "spell_correct": dk.sql_spell_correct(SPELL_WORDS, top_n=5),
         "token_count": dk.sql_token_count(),

@@ -45,8 +45,9 @@ class DocumentsEngine:
         if not hasattr(self, "_segments"):
             from .indexing.segments import encode_segments
 
+            n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             sorted_postings = self.postings.repartitionByRange(
-                8, "term", "doc_id"
+                n_parts, "term", "doc_id"
             ).sortWithinPartitions("term", "doc_id")
             self._segments = encode_segments(sorted_postings).persist()
         return self._segments

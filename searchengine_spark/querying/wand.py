@@ -3,7 +3,7 @@
 
 Distributed batch adaptation of Block-Max WAND (Ding & Suel, SIGIR 2011):
 instead of a document-at-a-time cursor walk (meaningless across executors),
-pruning happens at *block* granularity in two cheap passes over the segment
+pruning happens at *block* granularity in two passes over the segment
 metadata, and only surviving blocks are varbyte-decoded.
 
 For query terms t with weights wqt_t, every block B of term t has upper bound
@@ -12,21 +12,33 @@ For query terms t with weights wqt_t, every block B of term t has upper bound
 
 where gmax(t') is t's global max_wdt from term_stats.  For ANY doc d in B,
 score(d) <= ub(B).  Hence if every block containing d is pruned
-(ub <= theta for a valid lower bound theta on the k-th best score), d cannot
+(ub < theta for a valid lower bound theta on the k-th best score), d cannot
 be in the top-k — pruning is *sound*; and any doc with a surviving block is
 fully re-scored from the uncompressed postings (so partial scores can never
 demote a true top-k doc).
 
-Passes:
-  1. theta estimation: decode just enough highest-ub blocks to cover
-     ``oversample * k`` postings, exact-score those candidate docs, take the
-     k-th best score.
-  2. prune: keep blocks with ub > theta; decode survivors' doc_ids
-     (vectorized numpy kernel in mapInPandas); union with pass-1 candidates;
-     exact-score via the standard ranked plan restricted by a doc_id
-     semi-join; top-k.
+Passes (all heavy work executor-side; the only driver traffic is two tiny
+collects of numeric rows — never postings blobs):
+  1. seed cutoff: collect the top-64 (ub, n_postings) METADATA rows (two
+     numbers per block), choose the smallest ub cutoff whose blocks cover
+     >= oversample * k postings;
+  2. theta: decode blocks with ub >= cutoff distributedly (vectorized numpy
+     kernel in mapInPandas), exact-score those docs with the standard ranked
+     plan restricted by a doc_id semi-join, and collect just the top-k
+     (doc_id, score) rows — theta = the k-th score;
+  3. prune: keep blocks with ub >= theta (minus one quantization step when
+     round_scores is set — a doc whose exact score is just below theta can
+     still round into a tie with the k-th rounded score, and the exhaustive
+     plan's doc_id tie-break could then prefer it); decode survivors'
+     doc_ids; exact-score; top-k.  The result is returned as a LAZY
+     DataFrame — no collect-and-recreate.
 
-At 100 TB the win is that pass 2 reads only (term, max_wdt, postings_bin) for
+Soundness of pass 3 without re-adding the seed docs: theta is the k-th best
+score of a *subset* of docs, so theta <= the true k-th best score; any true
+top-k doc d has score(d) >= theta, and every block containing d has
+ub >= score(d) >= theta — all of d's blocks survive the cut.
+
+At 100 TB the win is that pass 3 reads only (term, max_wdt, postings_bin) for
 the pruned-in fraction of blocks — the segment scan is metadata-cheap and the
 expensive decode+score is skipped for the long tail of low-impact blocks.
 
@@ -63,11 +75,13 @@ def _decode_doc_ids(iterator):
 def _exact_scores(
     index: SparkIndex, weights: dict[str, float], wdt_col: str, candidates: DataFrame
 ) -> DataFrame:
-    """Standard ranked plan (K1-K5) restricted to candidate doc_ids."""
+    """Standard ranked plan (K1-K5) restricted to candidate doc_ids via a
+    semi-join (no forced broadcast: candidate sets are unbounded, AQE picks
+    broadcast when the decoded set is actually small)."""
     postings = (
         index.get_postings(list(weights))
         .select("term", "doc_id", wdt_col)
-        .join(F.broadcast(candidates.select("doc_id").distinct()), "doc_id", "left_semi")
+        .join(candidates.select("doc_id").distinct(), "doc_id", "left_semi")
     )
     wqt_expr = None
     for t, w in weights.items():
@@ -89,27 +103,45 @@ def ranked_search_wand(
     k: int = 10,
     oversample: int = 4,
     round_scores: int | None = None,
+    stats: dict | None = None,
+    theta_mode: str = "metadata",
 ) -> DataFrame:
     """Block-max-pruned top-k; rank-identical to ranked_search (same scores,
-    same tie-break by ascending doc_id)."""
+    same tie-break by ascending doc_id).
+
+    theta_mode:
+      * "metadata" (default): theta from block metadata alone — every block
+        max is ATTAINED by some doc, and blocks of one term hold disjoint
+        docs, so the k-th largest wqt_t * max_wdt(B) among term t's blocks
+        lower-bounds the true k-th best score.  One tiny driver collect
+        (|terms| rows), then a single lazy prune+decode+score plan: total
+        overhead over the exhaustive plan is one metadata aggregation.
+      * "seeded": decode the highest-ub blocks covering oversample*k
+        postings and exact-score them for a tighter theta — an extra
+        distributed scoring pass; worth it only when block maxima are skewed
+        enough that tighter pruning pays for the second job.
+
+    Pass a dict as ``stats`` to get block/byte pruning counters filled in
+    (costs two extra metadata aggregations — diagnostics, not the hot
+    path)."""
     assert mode in ("bm25", "tfidf")
     terms = preprocess_ranked_query(raw_query)
     empty = index.spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return empty
 
-    stats = index.term_stats_for(list(set(terms)))
+    stats_rows = index.term_stats_for(list(set(terms)))
     wqt_fn = bm25_wqt if mode == "bm25" else tfidf_wqt
     weights: dict[str, float] = {}
     for t in terms:
-        if t in stats:
-            weights[t] = weights.get(t, 0.0) + wqt_fn(index.n_docs, stats[t]["df"])
+        if t in stats_rows:
+            weights[t] = weights.get(t, 0.0) + wqt_fn(index.n_docs, stats_rows[t]["df"])
     if not weights:
         return empty
 
     max_col = "max_wdt_bm25" if mode == "bm25" else "max_wdt_tfidf_norm"
     wdt_col = "wdt_bm25" if mode == "bm25" else "wdt_tfidf_norm"
-    gmax = {t: weights[t] * float(stats[t][max_col]) for t in weights}
+    gmax = {t: weights[t] * float(stats_rows[t][max_col]) for t in weights}
     gmax_total = sum(gmax.values())
 
     # per-block upper bound: own term uses the block max, others their global
@@ -127,47 +159,130 @@ def ranked_search_wand(
             if rest_expr is None
             else rest_expr.when(F.col("term") == t, F.lit(gmax_total - gmax[t]))
         )
-    blocks = blocks.withColumn("ub", wqt_expr * F.col(max_col) + rest_expr).persist()
+    blocks = blocks.withColumn("ub", wqt_expr * F.col(max_col) + rest_expr)
 
-    # pass 1: theta from the highest-ub blocks covering >= oversample*k postings
-    target = oversample * k
-    head = blocks.orderBy(F.desc("ub")).select("n_postings", "postings_bin").limit(64)
-    head_rows, covered, seed_blobs = head.collect(), 0, []
-    for r in head_rows:
-        seed_blobs.append((bytearray(r["postings_bin"]),))
-        covered += r["n_postings"]
-        if covered >= target:
-            break
-    if not seed_blobs:
-        blocks.unpersist()
-        return empty
-    seed_df = index.spark.createDataFrame(
-        [(bytes(b[0]),) for b in seed_blobs], "postings_bin binary"
-    )
-    seed_ids = seed_df.mapInPandas(_decode_doc_ids, schema=_DOCIDS_SCHEMA)
-    seed_scores = _exact_scores(index, weights, wdt_col, seed_ids).persist()
-    kth = (
-        seed_scores.orderBy(F.desc("score")).limit(k).orderBy(F.asc("score")).limit(1).collect()
-    )
-    n_seed = seed_scores.count()
-    theta = float(kth[0]["score"]) if kth and n_seed >= k else float("-inf")
-
-    # pass 2: prune, decode survivors, union candidates, exact score, top-k.
-    # ub >= theta (not >) keeps docs that exactly tie the k-th score, so the
-    # doc_id tie-break stays rank-identical to the exhaustive plan.
-    survivors = blocks.filter(F.col("ub") >= theta).select("postings_bin")
-    surv_ids = survivors.mapInPandas(_decode_doc_ids, schema=_DOCIDS_SCHEMA)
-    candidates = surv_ids.unionByName(seed_scores.select("doc_id")).distinct()
-    scored = _exact_scores(index, weights, wdt_col, candidates)
-    if round_scores is not None:
-        out = (
-            scored.select("doc_id", F.round("score", round_scores).alias("score_r"))
-            .orderBy(F.desc("score_r"), F.asc("doc_id"))
-            .limit(k)
+    cutoff = None
+    min_ub = None
+    if theta_mode == "metadata":
+        # ONE tiny collect: per term, the k largest block maxima (disjoint
+        # docs within a term attain them) -> theta = max_t wqt_t * kth_max_t.
+        # Terms with fewer than k blocks cannot certify a k-th bound.
+        # min(max_wdt) rides along to bound the lowest block ub, which
+        # decides below whether pruning can fire at all.
+        per_term = (
+            blocks.groupBy("term")
+            .agg(
+                F.slice(F.sort_array(F.collect_list(F.col(max_col)), asc=False), 1, k).alias("tops"),
+                F.count("*").alias("n_blocks"),
+                F.min(F.col(max_col)).alias("min_max_wdt"),
+            )
+            .collect()
         )
+        if not per_term:
+            return empty
+        theta = float("-inf")
+        min_ub = float("inf")
+        for r in per_term:
+            t = r["term"]
+            if int(r["n_blocks"]) >= k:
+                theta = max(theta, weights[t] * float(r["tops"][-1]))
+            min_ub = min(min_ub, weights[t] * float(r["min_max_wdt"]) + (gmax_total - gmax[t]))
     else:
-        out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    rows = out.collect()
-    seed_scores.unpersist()
-    blocks.unpersist()
-    return index.spark.createDataFrame(rows, out.schema)
+        # pass 1 (driver sees metadata only): ub cutoff covering
+        # >= oversample*k postings.  TakeOrderedAndProject over two numeric
+        # columns — no blobs.
+        target = oversample * k
+        meta = blocks.select("ub", "n_postings").orderBy(F.desc("ub")).limit(64).collect()
+        if not meta:
+            return empty
+        covered = 0
+        for r in meta:
+            cutoff = float(r["ub"])
+            covered += int(r["n_postings"])
+            if covered >= target:
+                break
+
+        # pass 2: decode seed blocks executor-side, exact-score, k-th score.
+        # The ub filter re-evaluates the same deterministic double
+        # expression, so the cutoff comparison is exact.
+        seed_ids = (
+            blocks.filter(F.col("ub") >= cutoff).select("postings_bin")
+            .mapInPandas(_decode_doc_ids, schema=_DOCIDS_SCHEMA)
+        )
+        seed_top = (
+            _exact_scores(index, weights, wdt_col, seed_ids)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        theta = float(seed_top[-1]["score"]) if len(seed_top) >= k else float("-inf")
+
+    # When ranking by round(score, n), a doc with exact score in
+    # [theta - 10^-n, theta) can still round into a tie with the k-th rounded
+    # score and win the doc_id tie-break — widen the cut by one grid step.
+    theta_eff = theta - 10.0 ** (-round_scores) if round_scores is not None else theta
+
+    def finalize(scored: DataFrame) -> DataFrame:
+        if round_scores is not None:
+            return (
+                scored.select("doc_id", F.round("score", round_scores).alias("score_r"))
+                .orderBy(F.desc("score_r"), F.asc("doc_id"))
+                .limit(k)
+            )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def fill_stats(survivors: DataFrame | None) -> None:
+        if stats is None:
+            return
+        total = blocks.agg(
+            F.count("*").alias("blocks"),
+            F.sum("n_postings").alias("postings"),
+            F.sum(F.octet_length("postings_bin")).alias("bytes"),
+        ).collect()[0]
+        stats.update(
+            theta=theta,
+            cutoff=cutoff,
+            blocks_total=int(total["blocks"]),
+            postings_total=int(total["postings"] or 0),
+            bytes_total=int(total["bytes"] or 0),
+        )
+        if survivors is None:  # pruning provably inert: nothing decoded
+            stats.update(blocks_decoded=0, postings_decoded=0, bytes_decoded=0, pruned=False)
+        else:
+            kept = survivors.agg(
+                F.count("*").alias("blocks"),
+                F.sum("n_postings").alias("postings"),
+                F.sum(F.octet_length("postings_bin")).alias("bytes"),
+            ).collect()[0]
+            stats.update(
+                blocks_decoded=int(kept["blocks"]),
+                postings_decoded=int(kept["postings"] or 0),
+                bytes_decoded=int(kept["bytes"] or 0),
+                pruned=True,
+            )
+
+    # If the metadata bound proves no block can be cut (every block ub >=
+    # theta_eff), the semi-join and decode are pure overhead: run the plain
+    # exhaustive scoring plan — identical result, zero extra distributed
+    # work beyond the one metadata aggregate already paid.
+    if min_ub is not None and theta_eff <= min_ub:
+        fill_stats(None)
+        postings = index.get_postings(list(weights)).select("term", "doc_id", wdt_col)
+        wqt_case = None
+        for t, w in weights.items():
+            wqt_case = (
+                F.when(F.col("term") == t, F.lit(w))
+                if wqt_case is None
+                else wqt_case.when(F.col("term") == t, F.lit(w))
+            )
+        scored = postings.withColumn("wqt", wqt_case).groupBy("doc_id").agg(
+            F.sum(F.col("wqt") * F.col(wdt_col)).alias("score")
+        )
+        return finalize(scored)
+
+    # prune on ub, decode survivors, exact-score, top-k (lazy)
+    survivors = blocks.filter(F.col("ub") >= theta_eff)
+    surv_ids = survivors.select("postings_bin").mapInPandas(_decode_doc_ids, schema=_DOCIDS_SCHEMA)
+    scored = _exact_scores(index, weights, wdt_col, surv_ids)
+    fill_stats(survivors)
+    return finalize(scored)

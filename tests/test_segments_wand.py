@@ -68,3 +68,54 @@ def test_wand_unknown_terms(spark_index):
     from searchengine_spark.querying.wand import ranked_search_wand
 
     assert ranked_search_wand(spark_index, "zzzqx notinvocab", k=5).count() == 0
+
+
+@pytest.mark.parametrize("mode", ["metadata", "seeded"])
+def test_wand_theta_modes_rank_identical(spark_index, mode):
+    from searchengine_spark.querying.ranked import ranked_search
+    from searchengine_spark.querying.wand import ranked_search_wand
+
+    q = "the search engine"
+    want = [(r["doc_id"], r["score"]) for r in ranked_search(spark_index, q, k=5).collect()]
+    st: dict = {}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in ranked_search_wand(spark_index, q, k=5, theta_mode=mode, stats=st).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert st["blocks_total"] > 0 and st["blocks_decoded"] <= st["blocks_total"]
+    assert st["bytes_decoded"] <= st["bytes_total"]
+
+
+def test_wand_pruning_fires_on_skewed_corpus(spark, tmp_path):
+    """A corpus where one tight cluster of docs repeats a term with high tf
+    (high block max) and a long tail barely mentions it: k=1 with
+    block-size-many hot docs forces low-ub tail blocks below theta, so the
+    pruned plan decodes strictly fewer blocks — and stays rank-identical."""
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.indexing.index import SparkIndex
+    from searchengine_spark.indexing.segments import BLOCK_SIZE
+    from searchengine_spark.querying.ranked import ranked_search
+    from searchengine_spark.querying.wand import ranked_search_wand
+
+    rows = []
+    for i in range(3 * BLOCK_SIZE):
+        if i < BLOCK_SIZE:  # a full block of hot docs
+            text = " ".join(["zebra"] * 20 + ["filler", f"tok{i}"])
+        else:  # long tail: one mention drowned in filler
+            text = " ".join(["zebra"] + [f"pad{i}w{j}" for j in range(40)])
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "skew_index")
+    build_index(spark, docs, out)
+    index = SparkIndex(spark, out)
+
+    want = [(r["doc_id"], round(r["score"], 9)) for r in ranked_search(index, "zebra", k=1).collect()]
+    st: dict = {}
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in ranked_search_wand(index, "zebra", k=1, stats=st).collect()
+    ]
+    assert got == want
+    assert st["pruned"] is True
+    assert 0 < st["blocks_decoded"] < st["blocks_total"]
