@@ -103,6 +103,17 @@ def _postings_kernel(avgdl: float):
     return fn
 
 
+_DOCID_CACHES: list[DataFrame] = []
+
+
+def release_docid_caches() -> None:
+    """Unpersist every ranged corpus cached by assign_doc_ids.  Each build /
+    streaming epoch calls this once its artifacts are durable; without it
+    every build pins a cached copy of the corpus until session end."""
+    while _DOCID_CACHES:
+        _DOCID_CACHES.pop().unpersist()
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
@@ -115,6 +126,12 @@ def assign_doc_ids(
     Scale path: range-partition + sort, count rows per partition (tiny
     driver-side collect of one long per partition), then
     doc_id = partition_offset + row_number_within_partition - 1.
+
+    The ranged corpus is persisted so the counting pass and the downstream
+    consumer share one shuffle; the handle is registered for
+    release_docid_caches() (called by build/compact/streaming once their
+    outputs are durable).  At 10^12-turn scale the equivalent is writing the
+    ranged pass to storage once instead of caching.
     """
     spark = df.sparkSession
     if n_partitions is None:
@@ -125,6 +142,7 @@ def assign_doc_ids(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    _DOCID_CACHES.append(ranged)
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -322,6 +340,7 @@ class IndexBuilder:
         if hasattr(tokens, "_types_cache"):
             tokens._types_cache.unpersist()
         docs.unpersist()
+        release_docid_caches()
         return self.manifest
 
 

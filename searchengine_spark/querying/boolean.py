@@ -124,9 +124,22 @@ def matches_expr(node: Node, tokens_col) -> "F.Column":
 
 def matches_search(index: SparkIndex, raw_query: str) -> DataFrame:
     """Scan-side evaluation of a Boolean query via matches_expr over each
-    doc's term set (rebuilt from postings) — the index-free fallback."""
+    doc's term set — the index-free fallback.
+
+    Semantics aligned with the index path (compile_node):
+      * the doc universe comes from doc_stats, so token-less docs exist and
+        correctly satisfy NOT clauses (their term set is empty);
+      * a pure-negative query (root is NOT, or an AND with no positive
+        children) returns the empty set, exactly as compile_node does —
+        the reference treats bare NOT as unanswerable (notquery.py:9-13)."""
     node = parse_query(raw_query)
-    doc_terms = index.postings.groupBy("doc_id").agg(
-        F.collect_set("term").alias("_terms")
-    )
+    if isinstance(node, Not) or (
+        isinstance(node, And) and not any(c.is_positive() for c in node.children)
+    ):
+        return index.postings.sparkSession.createDataFrame([], "doc_id long")
+    doc_terms = index.doc_stats.select("doc_id").join(
+        index.postings.groupBy("doc_id").agg(F.collect_set("term").alias("_terms")),
+        "doc_id",
+        "left",
+    ).withColumn("_terms", F.coalesce(F.col("_terms"), F.array().cast("array<string>")))
     return doc_terms.filter(matches_expr(node, F.col("_terms"))).select("doc_id")

@@ -40,10 +40,10 @@ from ..indexing.build import IndexBuilder, assign_doc_ids
 
 
 class StreamingIndexer:
-    def __init__(self, spark: SparkSession, index_dir: str, n_partitions: int = 8):
+    def __init__(self, spark: SparkSession, index_dir: str, n_partitions: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        self.n_partitions = n_partitions
+        self.n_partitions = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.deltas_dir = os.path.join(index_dir, "deltas")
         self.manifest_path = os.path.join(index_dir, "stream_manifest.json")
 
@@ -118,6 +118,9 @@ class StreamingIndexer:
         self._save(m)
         tokens.unpersist()
         docs.unpersist()
+        from ..indexing.build import release_docid_caches
+
+        release_docid_caches()
 
     # -- driver ------------------------------------------------------------
     def start(self, source_path: str, checkpoint_dir: str, available_now: bool = True):
@@ -151,7 +154,13 @@ class StreamingIndexer:
         if not m["epochs"]:
             raise ValueError("no epochs ingested")
 
-        doc_stats = spark.read.parquet(os.path.join(self.deltas_dir, "*", "doc_stats"))
+        # read ONLY manifest-committed epochs: a partially-written epoch dir
+        # whose manifest entry was never recorded (crash between the parquet
+        # writes and _save) must not leak docs past the doc_id watermark
+        epoch_dirs = [
+            os.path.join(self.deltas_dir, f"epoch={eid}") for eid in sorted(m["epochs"], key=int)
+        ]
+        doc_stats = spark.read.parquet(*[os.path.join(d, "doc_stats") for d in epoch_dirs])
         doc_stats.write.mode("overwrite").parquet(os.path.join(self.index_dir, "doc_stats"))
         doc_stats = spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
 
@@ -160,7 +169,7 @@ class StreamingIndexer:
         row = spark.read.parquet(os.path.join(self.index_dir, "corpus_stats")).collect()[0]
         avgdl = float(row["avgdl"])
 
-        raw = spark.read.parquet(os.path.join(self.deltas_dir, "*", "postings_raw"))
+        raw = spark.read.parquet(*[os.path.join(d, "postings_raw") for d in epoch_dirs])
         weighted = (
             raw.join(doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id")
             .withColumn(

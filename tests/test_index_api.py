@@ -1,0 +1,83 @@
+"""SparkIndex retrieval API (SURVEY.md §2 R3/R5/K7) + resource hygiene:
+point tf lookup vs the single-node oracle, title attach on top-k results,
+and no persisted-RDD leak after a build."""
+
+
+def test_get_term_frequency_matches_oracle(spark_index, oracle_index):
+    # R3: reference diskpositionalindex.py:156-188 — every (term, doc)
+    # posting must report the oracle's tf; absent pairs report 0
+    sample = spark_index.postings.select("term", "doc_id", "tf").limit(20).collect()
+    assert sample
+    for r in sample:
+        want = len(oracle_index.postings[r["term"]][r["doc_id"]])  # tf = |positions|
+        assert spark_index.get_term_frequency(r["term"], r["doc_id"]) == want == r["tf"]
+    assert spark_index.get_term_frequency("zzzneverseen", 0) == 0
+    some_term = sample[0]["term"]
+    absent_doc = spark_index.n_docs + 10
+    assert spark_index.get_term_frequency(some_term, absent_doc) == 0
+
+
+def test_with_titles_attaches_result_titles(spark_index):
+    # R5/K7: reference model.py:200-237 — top-k results come back with the
+    # doc's title; docs outside the result set are not joined in
+    from searchengine_spark.querying.ranked import ranked_search
+
+    top = ranked_search(spark_index, "the search engine", k=5)
+    titled = spark_index.with_titles(top).collect()
+    assert 0 < len(titled) <= 5
+    stats = {
+        r["doc_id"]: r["title"]
+        for r in spark_index.doc_stats.select("doc_id", "title").collect()
+    }
+    for r in titled:
+        assert r["title"] == stats[r["doc_id"]]
+        assert ":" in r["title"]  # transcript titles are conv_id:turn_idx
+
+
+def test_with_titles_passthrough_without_title_column(spark, tmp_path):
+    from searchengine_spark.indexing import SparkIndex, build_index
+
+    docs = spark.createDataFrame([(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string")
+    out = str(tmp_path / "untitled_index")
+    build_index(spark, docs, out)
+    idx = SparkIndex(spark, out)
+    res = idx.get_postings(["beta"]).select("doc_id")
+    assert set(idx.with_titles(res).columns) == {"doc_id"}  # no title col -> unchanged
+
+
+def test_build_leaves_no_persisted_rdds(spark, tmp_path):
+    from searchengine_spark.indexing import build_index
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma") for i in range(50)], "doc_id long, text string"
+    )
+    from searchengine_spark.indexing.build import assign_doc_ids
+
+    with_ids = assign_doc_ids(docs.withColumnRenamed("doc_id", "orig"), order_cols=("orig",))
+    build_index(spark, with_ids.select("doc_id", "text"), str(tmp_path / "leak_index"))
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before  # build+assign unpersist everything they cached
+
+
+def test_matches_not_with_tokenless_docs(spark, tmp_path):
+    """A doc whose every token cleans to '' has an empty term set: it must
+    satisfy NOT clauses in the scan path exactly like the index path, and a
+    pure-negative query returns empty in both."""
+    from searchengine_spark.indexing import SparkIndex, build_index
+    from searchengine_spark.querying.boolean import boolean_search, matches_search
+
+    docs = spark.createDataFrame(
+        [(0, "cat runs"), (1, "dog naps"), (2, "☃ ☃ ☃")],  # doc 2: all tokens clean to ''
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "tokenless_index")
+    build_index(spark, docs, out)
+    idx = SparkIndex(spark, out)
+    for q in ("cat -dog", "cat + dog", "cat dog"):
+        got = {r["doc_id"] for r in matches_search(idx, q).collect()}
+        want = {r["doc_id"] for r in boolean_search(idx, q).collect()}
+        assert got == want, q
+    # token-less docs never match positive queries in either path
+    assert 2 not in {r["doc_id"] for r in matches_search(idx, "cat").collect()}

@@ -60,3 +60,32 @@ def test_epoch_retry_is_idempotent(tmp_path_factory, spark, turns):
     first = indexer._manifest()
     indexer.process_batch(df, epoch_id=0)  # sink retry
     assert indexer._manifest() == first  # no double-count
+
+
+def test_compact_ignores_uncommitted_epoch_dirs(tmp_path_factory, spark, turns):
+    """An epoch directory with parquet but no manifest entry (crash between
+    write and _save) must be excluded by compact() — only manifest-committed
+    epochs participate, so the doc_id watermark stays truthful."""
+    from searchengine_spark.data import spark_schema, turns_as_rows
+    from searchengine_spark.indexing import SparkIndex
+    from searchengine_spark.streaming import StreamingIndexer
+
+    out = str(tmp_path_factory.mktemp("orphan_index"))
+    indexer = StreamingIndexer(spark, out, n_partitions=4)
+    df = spark.createDataFrame(turns_as_rows(turns[:40]), schema=spark_schema())
+    indexer.process_batch(df, epoch_id=0)
+    committed_docs = indexer._manifest()["next_doc_id"]
+
+    # simulate a crashed epoch 1: parquet written, manifest never updated
+    orphan = spark.createDataFrame(turns_as_rows(turns[40:60]), schema=spark_schema())
+    indexer.process_batch(orphan, epoch_id=1)
+    m = indexer._manifest()
+    del m["epochs"]["1"]
+    m["next_doc_id"] = committed_docs
+    indexer._save(m)
+
+    indexer.compact()
+    idx = SparkIndex(spark, out)
+    assert idx.n_docs == committed_docs  # orphan epoch not merged
+    max_doc = idx.doc_stats.agg({"doc_id": "max"}).collect()[0][0]
+    assert max_doc < committed_docs
