@@ -59,19 +59,19 @@ def _postings_kernel(avgdl: float):
     (term, doc_id, position); output one row per (term, doc_id) with tf,
     the position list, and the precomputed K3/K4 document weights
     (rankedquery.py:22,24 — wdt_bm25 with k1=1.2, b=0.75 so 2.2 = k1+1 and
-    0.25 = 1-b).  All numpy; Arrow batches are concatenated per partition so
-    a group never splits across kernel calls."""
+    0.25 = 1-b).  All numpy.
 
-    def fn(iterator):
+    Memory: Arrow batches are processed as they STREAM — each batch emits
+    every complete (term, doc_id) group and carries only the trailing
+    incomplete group into the next batch, so peak per-partition memory is
+    O(batch + largest single group), not O(partition) (a whole-partition
+    concat would OOM on large or skewed partitions at 10^12-posting
+    scale)."""
+
+    def process(pdf):
         import numpy as np
         import pandas as pd
 
-        pdfs = list(iterator)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        if pdf.empty:
-            return
         term = pdf["term"].to_numpy()
         doc = pdf["doc_id"].to_numpy(dtype=np.int64)
         pos = pdf["position"].to_numpy(dtype=np.int64)
@@ -89,7 +89,7 @@ def _postings_kernel(avgdl: float):
             BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)) + tf_f
         )
         wdt_tfidf = (1.0 + np.log(tf_f)) / l2[starts]
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "term": term[starts],
                 "doc_id": doc[starts],
@@ -99,6 +99,28 @@ def _postings_kernel(avgdl: float):
                 "wdt_tfidf_norm": wdt_tfidf,
             }
         )
+
+    def fn(iterator):
+        import pandas as pd
+
+        carry = None
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            # the last (term, doc_id) group may continue in the next batch:
+            # hold it back
+            last_term = pdf["term"].iloc[-1]
+            last_doc = pdf["doc_id"].iloc[-1]
+            tail_mask = (pdf["term"] == last_term) & (pdf["doc_id"] == last_doc)
+            split_at = len(pdf) - int(tail_mask.iloc[::-1].cummin().sum())
+            carry = pdf.iloc[split_at:].reset_index(drop=True)
+            if split_at:
+                yield process(pdf.iloc[:split_at])
+        if carry is not None and len(carry):
+            yield process(carry)
 
     return fn
 

@@ -61,6 +61,36 @@ def test_build_leaves_no_persisted_rdds(spark, tmp_path):
     assert after <= before  # build+assign unpersist everything they cached
 
 
+def test_postings_kernel_streams_across_arrow_batches(spark, tmp_path):
+    """With a tiny Arrow batch size, (term, doc_id) groups split across
+    batches; the kernel's carry logic must reassemble them — identical
+    output to the in-session logical plan."""
+    from searchengine_spark.engine_api import DocumentsEngine
+    from searchengine_spark.indexing import SparkIndex, build_index
+
+    rows = [(i, " ".join(["alpha"] * 10 + [f"tok{i % 5}"] * 5 + ["omega"])) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = str(tmp_path / "smallbatch_index")
+        build_index(spark, docs, out)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    idx = SparkIndex(spark, out)
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in idx.postings.collect()
+    }
+    eng = DocumentsEngine(spark, docs)
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], sorted(r["positions"]))
+        for r in eng.postings.collect()
+    }
+    eng.unpersist()
+    assert got == want
+
+
 def test_matches_not_with_tokenless_docs(spark, tmp_path):
     """A doc whose every token cleans to '' has an empty term set: it must
     satisfy NOT clauses in the scan path exactly like the index path, and a

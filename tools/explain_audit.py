@@ -90,6 +90,31 @@ def main() -> None:
         )
     )
 
+    # 6: LSH near-dup must not plan a cartesian / nested-loop join — the
+    # round-1 scale-killer; the candidate join is a (t, bucket) equi-join
+    from searchengine_spark.pipeline import near_dup_embedding
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nd = near_dup_embedding(emb, threshold=0.4, n_planes=4, n_tables=8, seed=42)
+    p6 = plan_of(nd)
+    sections.append(("Embedding near-dup (LSH candidates + rescore)", p6))
+    checks.append(
+        (
+            "near-dup has no cartesian/nested-loop join",
+            "CartesianProduct" not in p6 and "BroadcastNestedLoopJoin" not in p6,
+            "only equi-joins in plan",
+        )
+    )
+
+    # 7: WAND result is lazy (plan exists pre-collect) and its scoring path
+    # contains no forced broadcast of an unbounded candidate set
+    from searchengine_spark.querying.wand import ranked_search_wand
+
+    wand_df = ranked_search_wand(index, "search engine index", mode="bm25", k=10)
+    p7 = plan_of(wand_df)
+    sections.append(("WAND top-k (K6, metadata theta)", p7))
+    checks.append(("WAND returns a lazy plan", "TakeOrderedAndProject" in p7, "operator present pre-collect"))
+
     # write PLANS.md
     out = [
         "# PLANS — physical-plan audit (tools/explain_audit.py)",
