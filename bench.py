@@ -63,7 +63,9 @@ def main() -> None:
     extras["n_turns"] = n_turns
     transcripts = spark.createDataFrame(rows, spark_schema())
 
-    idx_dir = tempfile.mkdtemp(prefix="bench_index_")
+    scratch = os.path.join(REPO, ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    idx_dir = tempfile.mkdtemp(prefix="bench_index_", dir=scratch)
     t0 = time.perf_counter()
     docs = prepare_transcripts(transcripts)
     manifest = build_index(spark, docs, idx_dir)
@@ -90,6 +92,12 @@ def main() -> None:
     from searchengine_spark.querying.wand import ranked_search_wand
 
     timed("ranked_bm25_wand", lambda: ranked_search_wand(index, "spark shuffle partition", mode="bm25", k=10).count())
+    # untimed: pruning counters (bytes decoded vs total) for the same query
+    wand_stats: dict = {}
+    ranked_search_wand(index, "spark shuffle partition", mode="bm25", k=10, stats=wand_stats).count()
+    extras["wand_bytes_decoded"] = wand_stats.get("bytes_decoded")
+    extras["wand_bytes_total"] = wand_stats.get("bytes_total")
+    extras["wand_pruned"] = wand_stats.get("pruned")
     # repeat for p95-ish latency signal (warm)
     lat = []
     for _ in range(5):
@@ -109,6 +117,7 @@ def main() -> None:
         "dedup_minhash",
         "dedup_simhash",
         "ngram_jaccard",
+        "near_dup_embedding",
         "ann_cosine_topk",
         "ann_lsh_topk",
     ):

@@ -10,10 +10,11 @@ from .dedup import (
     simhash_kernel,
 )
 from .multimodal import attach_payload, extract_meta, multimodal_meta
-from .similarity import cosine_topk, hyperplane_signatures, lsh_cosine_topk
+from .similarity import LshIndex, cosine_topk, hyperplane_signatures, lsh_cosine_topk
 from .textops import dedup_exact, fingerprint, lang_id, quality_score, token_count
 
 __all__ = [
+    "LshIndex",
     "attach_payload",
     "cosine_topk",
     "dedup_exact",

@@ -60,6 +60,22 @@ def _bucket_expr(planes: list[list[float]]):
     return bucket
 
 
+def hyperplane_signatures_expr(
+    embeddings: DataFrame, n_planes: int = 8, n_tables: int = 1, seed: int = 42
+) -> DataFrame:
+    """Pure-expression signatures — the SQL-twin shape.  Spark evaluates the
+    zip_with/aggregate dot-product folds interpreted (outside codegen), so
+    this path is ~10x slower than the kernel below; kept as the semantic
+    baseline (tested bit-equal, signatures are sign decisions on identical
+    float64 folds)."""
+    dim = int(embeddings.select(F.size("embedding").alias("d")).first()["d"])
+    cols = [embeddings["vec_id"], embeddings["embedding"]]
+    for t in range(n_tables):
+        planes = _lcg_planes(n_planes, dim, seed + 7919 * t)
+        cols.append(_bucket_expr(planes).alias(f"bucket_{t}"))
+    return embeddings.select(*cols)
+
+
 def hyperplane_signatures(
     embeddings: DataFrame, n_planes: int = 8, n_tables: int = 1, seed: int = 42
 ) -> DataFrame:
@@ -72,13 +88,52 @@ def hyperplane_signatures(
     higher recall).  Planes come from a deterministic LCG so executors and
     the oracle agree without shipping state.  At 100 TB these bucket
     columns are materialized at ingest and used as partition keys, making
-    candidate generation a partition-pruned scan."""
+    candidate generation a partition-pruned scan.
+
+    Production path: an Arrow numpy kernel whose dot products accumulate
+    STRICTLY left to right over the vector dimension (a vectorized
+    column-loop, one fused multiply-add per dimension across the whole
+    batch) — bit-identical to the expression fold / DuckDB list_sum, so the
+    sign decisions and bucket ids match the SQL twin exactly
+    (test_pipeline_ops parity)."""
     dim = int(embeddings.select(F.size("embedding").alias("d")).first()["d"])
-    cols = [embeddings["vec_id"], embeddings["embedding"]]
-    for t in range(n_tables):
-        planes = _lcg_planes(n_planes, dim, seed + 7919 * t)
-        cols.append(_bucket_expr(planes).alias(f"bucket_{t}"))
-    return embeddings.select(*cols)
+    all_planes = [
+        _lcg_planes(n_planes, dim, seed + 7919 * t) for t in range(n_tables)
+    ]
+    pow2 = [2**p for p in range(n_planes)]
+
+    def fn(iterator):
+        import numpy as np
+        import pandas as pd
+
+        # (n_tables*n_planes, dim) float64 plane matrix
+        pm = np.array([p for planes in all_planes for p in planes], dtype=np.float64)
+        for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            # strict left-to-right fold over dim: acc += emb[:, i] * plane[i]
+            acc = np.zeros((n, pm.shape[0]), dtype=np.float64)
+            for i in range(dim):
+                acc += emb[:, i : i + 1] * pm[:, i]
+            bits = acc >= 0
+            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
+            for t in range(n_tables):
+                b = np.zeros(n, dtype=np.int64)
+                for p in range(n_planes):
+                    b += bits[:, t * n_planes + p] * pow2[p]
+                out[f"bucket_{t}"] = b
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, embedding array<float>, " + ", ".join(
+        f"bucket_{t} long" for t in range(n_tables)
+    )
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    src = embeddings.select("vec_id", "embedding")
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(fn, schema=schema)
 
 
 def _lcg_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
@@ -93,6 +148,18 @@ def _lcg_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return out
 
 
+def _lsh_topk_from_signed(signed: DataFrame, n_tables: int, query_vec_id: int, k: int) -> DataFrame:
+    qrow = signed.filter(F.col("vec_id") == query_vec_id).first()
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    cond = None
+    for t in range(n_tables):
+        eq = F.col(f"bucket_{t}") == int(qrow[f"bucket_{t}"])
+        cond = eq if cond is None else cond | eq
+    candidates = signed.filter(cond).select("vec_id", "embedding")
+    return cosine_topk(candidates, query_vec_id, k=k)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -103,14 +170,34 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing the query's bucket in
     ANY table (union-of-buckets OR-filter, one scan), then exact cosine
-    re-rank within the candidate set."""
+    re-rank within the candidate set.  One-shot form — signatures are
+    recomputed per call; for repeated queries use LshIndex, which
+    materializes them once (the at-ingest story for 100 TB)."""
     signed = hyperplane_signatures(embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed)
-    qrow = signed.filter(F.col("vec_id") == query_vec_id).first()
-    if qrow is None:
-        raise ValueError(f"vec_id {query_vec_id} not found")
-    cond = None
-    for t in range(n_tables):
-        eq = F.col(f"bucket_{t}") == int(qrow[f"bucket_{t}"])
-        cond = eq if cond is None else cond | eq
-    candidates = signed.filter(cond).select("vec_id", "embedding")
-    return cosine_topk(candidates, query_vec_id, k=k)
+    return _lsh_topk_from_signed(signed, n_tables, query_vec_id, k)
+
+
+class LshIndex:
+    """Bucket-materialized ANN index: signatures are computed ONCE at ingest
+    and cached (at 100 TB: written as partition columns so candidate
+    generation is a partition-pruned scan); each query is then a bucket
+    OR-filter + exact re-rank over candidates only.  Same results as
+    lsh_cosine_topk with identical parameters (tested)."""
+
+    def __init__(
+        self,
+        embeddings: DataFrame,
+        n_planes: int = 4,
+        n_tables: int = 16,
+        seed: int = 42,
+    ):
+        self.n_tables = n_tables
+        self.signed = hyperplane_signatures(
+            embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed
+        ).persist()
+
+    def topk(self, query_vec_id: int, k: int = 10) -> DataFrame:
+        return _lsh_topk_from_signed(self.signed, self.n_tables, query_vec_id, k)
+
+    def unpersist(self) -> None:
+        self.signed.unpersist()

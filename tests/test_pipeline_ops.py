@@ -85,3 +85,30 @@ def test_token_count(spark):
     r = token_count(docs).collect()[0]
     assert r["n_ws_tokens"] == 5  # double space collapses
     assert r["n_alnum_tokens"] == 7  # d, e split; f, g split
+
+
+def test_signature_kernel_matches_expression(spark, embeddings):
+    """The numpy signature kernel's strict left-to-right dot accumulation is
+    bit-identical to the interpreted expression fold — bucket ids (sign
+    decisions on the same float64 values) must match exactly."""
+    from searchengine_spark.pipeline.similarity import (
+        hyperplane_signatures,
+        hyperplane_signatures_expr,
+    )
+
+    a = sorted(tuple(r) for r in hyperplane_signatures(embeddings, 4, 8, 42).drop("embedding").collect())
+    b = sorted(tuple(r) for r in hyperplane_signatures_expr(embeddings, 4, 8, 42).drop("embedding").collect())
+    assert a == b
+
+
+def test_lsh_index_materialized_matches_one_shot(spark, embeddings):
+    from searchengine_spark.pipeline import LshIndex, lsh_cosine_topk
+
+    idx = LshIndex(embeddings, n_planes=4, n_tables=8, seed=42)
+    try:
+        for q in (0, 7):
+            a = [tuple(r) for r in idx.topk(q, k=5).collect()]
+            b = [tuple(r) for r in lsh_cosine_topk(embeddings, q, k=5, n_planes=4, n_tables=8, seed=42).collect()]
+            assert a == b
+    finally:
+        idx.unpersist()
