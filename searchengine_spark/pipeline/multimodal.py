@@ -47,21 +47,25 @@ def decode_media(payload: bytes):
 def _extract_partition(iterator):
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
     for pdf in iterator:
-        rows = {k: [] for k in ("doc_id", "n_bytes", "payload_md5", "width", "height", "n_frames")}
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            raw = bytes(payload)
-            n = len(raw)
-            rows["doc_id"].append(int(doc_id))
-            rows["n_bytes"].append(n)
-            rows["payload_md5"].append(hashlib.md5(raw).hexdigest())
-            # deterministic fake decode: dimensions derived from byte length
-            rows["width"].append(1 + n % 640)
-            rows["height"].append(1 + (n * 7) % 480)
-            rows["n_frames"].append(1 + n % 16)
-        yield pd.DataFrame(rows)
+        # md5 is necessarily per-payload (it would be the codec call in
+        # production); everything derived from byte length is vectorized
+        raws = [bytes(p) for p in pdf["payload"]]
+        n = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n,
+                "payload_md5": [hashlib.md5(r).hexdigest() for r in raws],
+                # deterministic fake decode: dimensions derived from length
+                "width": (1 + n % 640).astype("int32"),
+                "height": (1 + (n * 7) % 480).astype("int32"),
+                "n_frames": (1 + n % 16).astype("int32"),
+            }
+        )
 
 
 def extract_meta(multimodal: DataFrame) -> DataFrame:
