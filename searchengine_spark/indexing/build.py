@@ -183,6 +183,29 @@ def assign_doc_ids(
     return out
 
 
+def term_stats_with_block_meta(postings_df: DataFrame, segments_df: DataFrame) -> DataFrame:
+    """B7 dictionary + per-term block-max tops (top-32 block maxima, min
+    block max, block count, per scoring mode).  WAND's metadata theta and
+    its prune-or-fall-through decision then come from the dictionary collect
+    the ranked path already pays — zero extra jobs (querying/wand.py)."""
+    seg_meta = (
+        segments_df.select("term", "max_wdt_bm25", "max_wdt_tfidf_norm")
+        .groupBy("term")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("max_wdt_bm25"), asc=False), 1, 32).alias(
+                "top_block_max_bm25"
+            ),
+            F.min("max_wdt_bm25").alias("min_block_max_bm25"),
+            F.slice(
+                F.sort_array(F.collect_list("max_wdt_tfidf_norm"), asc=False), 1, 32
+            ).alias("top_block_max_tfidf_norm"),
+            F.min("max_wdt_tfidf_norm").alias("min_block_max_tfidf_norm"),
+            F.count("*").alias("n_blocks"),
+        )
+    )
+    return term_stats_table(postings_df).join(seg_meta, "term", "left")
+
+
 def prepare_transcripts(df: DataFrame) -> DataFrame:
     """Transcript table (input_hint schema) -> docs: one turn = one document;
     title = conv_id:turn_idx (SURVEY.md §1.3)."""
@@ -322,9 +345,16 @@ class IndexBuilder:
         if postings_cache is not None:
             postings_cache.unpersist()
 
-        # B7 + block-max metadata: the broadcastable dictionary
+        # B7 + block-max metadata: the broadcastable dictionary.  Per-term
+        # block-max tops ride along (top-32 block maxima, min block max,
+        # block count, per scoring mode) so WAND derives its theta lower
+        # bound and prune-or-fall-through decision from the SAME tiny
+        # dictionary collect it already pays — zero extra jobs at query time
+        # (wand.py metadata mode).
         if not self._stage_done("term_stats") or not resume:
-            term_stats = term_stats_table(postings_df)
+            term_stats = term_stats_with_block_meta(
+                postings_df, spark.read.parquet(os.path.join(out, "segments"))
+            )
             _write(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), os.path.join(out, "term_stats"))
             self._mark_stage("term_stats")
 

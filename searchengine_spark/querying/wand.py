@@ -105,6 +105,7 @@ def ranked_search_wand(
     round_scores: int | None = None,
     stats: dict | None = None,
     theta_mode: str = "metadata",
+    min_blocks_to_prune: int = 64,
 ) -> DataFrame:
     """Block-max-pruned top-k; rank-identical to ranked_search (same scores,
     same tie-break by ascending doc_id).
@@ -163,12 +164,29 @@ def ranked_search_wand(
 
     cutoff = None
     min_ub = None
-    if theta_mode == "metadata":
-        # ONE tiny collect: per term, the k largest block maxima (disjoint
-        # docs within a term attain them) -> theta = max_t wqt_t * kth_max_t.
-        # Terms with fewer than k blocks cannot certify a k-th bound.
-        # min(max_wdt) rides along to bound the lowest block ub, which
-        # decides below whether pruning can fire at all.
+    top_col = "top_block_max_bm25" if mode == "bm25" else "top_block_max_tfidf_norm"
+    min_col = "min_block_max_bm25" if mode == "bm25" else "min_block_max_tfidf_norm"
+    dict_has_blockmeta = all(
+        stats_rows[t].get(min_col) is not None and stats_rows[t].get("n_blocks") is not None
+        for t in weights
+    )
+    if theta_mode == "metadata" and dict_has_blockmeta:
+        # ZERO extra jobs: the persisted dictionary carries per-term block
+        # tops (build.py term_stats stage), already collected by
+        # term_stats_for above.  theta = max_t wqt_t * (k-th largest block
+        # max of t) — valid because block maxima of one term are attained by
+        # disjoint docs; min_ub decides whether pruning can fire at all.
+        theta = float("-inf")
+        min_ub = float("inf")
+        for t in weights:
+            r = stats_rows[t]
+            tops = r[top_col] or []
+            if int(r.get("n_blocks") or 0) >= k and len(tops) >= k:
+                theta = max(theta, weights[t] * float(tops[k - 1]))
+            min_ub = min(min_ub, weights[t] * float(r[min_col]) + (gmax_total - gmax[t]))
+    elif theta_mode == "metadata":
+        # in-session index without block metadata: ONE tiny per-term
+        # aggregate collect over segment metadata (no blobs).
         per_term = (
             blocks.groupBy("term")
             .agg(
@@ -261,11 +279,38 @@ def ranked_search_wand(
                 pruned=True,
             )
 
-    # If the metadata bound proves no block can be cut (every block ub >=
-    # theta_eff), the semi-join and decode are pure overhead: run the plain
-    # exhaustive scoring plan — identical result, zero extra distributed
-    # work beyond the one metadata aggregate already paid.
-    if min_ub is not None and theta_eff <= min_ub:
+    # Cost-based prune-or-scan decision (exhaustive is ALWAYS identical in
+    # result — pruning is purely a physical optimization, so decline it when
+    # it cannot pay):
+    #   1. provably inert: every block ub >= theta_eff — nothing to cut;
+    #   2. too small to amortize: the decode pass + doc_id semi-join cost a
+    #      fixed extra job; below min_blocks_to_prune total blocks
+    #      (~min_blocks_to_prune*128 postings) the exhaustive scan is
+    #      cheaper by construction (sandbox-calibrated fixed cost; at
+    #      cluster scale query terms have thousands of blocks and this gate
+    #      never triggers);
+    #   3. poor selectivity: when the dictionary holds EVERY block max for
+    #      every term (n_blocks <= 32), the exact surviving fraction is
+    #      computable driver-side — if a majority of blocks survive, most
+    #      bytes get decoded anyway and the scan wins.
+    prune_viable = not (min_ub is not None and theta_eff <= min_ub)
+    if prune_viable and min_ub is not None and dict_has_blockmeta and theta_mode == "metadata":
+        total_blocks = sum(int(stats_rows[t]["n_blocks"]) for t in weights)
+        if total_blocks < min_blocks_to_prune:
+            prune_viable = False
+        elif all(len(stats_rows[t][top_col] or []) == int(stats_rows[t]["n_blocks"]) for t in weights):
+            surviving = 0
+            for t in weights:
+                rest = gmax_total - gmax[t]
+                surviving += sum(
+                    1 for v in stats_rows[t][top_col] if weights[t] * float(v) + rest >= theta_eff
+                )
+            if total_blocks and surviving / total_blocks > 0.5:
+                prune_viable = False
+
+    # Exhaustive fall-through: identical result, zero extra distributed
+    # work beyond the dictionary lookup already paid.
+    if not prune_viable:
         fill_stats(None)
         postings = index.get_postings(list(weights)).select("term", "doc_id", wdt_col)
         wqt_case = None

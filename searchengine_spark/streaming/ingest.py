@@ -147,7 +147,6 @@ class StreamingIndexer:
         representation."""
         from ..indexing.logical import corpus_stats_table
         from ..indexing.segments import encode_segments
-        from ..indexing.logical import term_stats_table
 
         spark = self.spark
         m = self._manifest()
@@ -191,9 +190,11 @@ class StreamingIndexer:
         encode_segments(seg_input).write.mode("overwrite").parquet(
             os.path.join(self.index_dir, "segments")
         )
-        term_stats_table(postings).write.mode("overwrite").parquet(
-            os.path.join(self.index_dir, "term_stats")
-        )
+        from ..indexing.build import term_stats_with_block_meta
+
+        term_stats_with_block_meta(
+            postings, spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        ).write.mode("overwrite").parquet(os.path.join(self.index_dir, "term_stats"))
         # standard manifest so SparkIndex tooling sees a complete build
         builder = IndexBuilder(spark, self.index_dir, self.n_partitions)
         builder._load_manifest()

@@ -114,7 +114,7 @@ def test_wand_pruning_fires_on_skewed_corpus(spark, tmp_path):
     st: dict = {}
     got = [
         (r["doc_id"], round(r["score"], 9))
-        for r in ranked_search_wand(index, "zebra", k=1, stats=st).collect()
+        for r in ranked_search_wand(index, "zebra", k=1, stats=st, min_blocks_to_prune=0).collect()
     ]
     assert got == want
     assert st["pruned"] is True
