@@ -217,6 +217,27 @@ def _write(df: DataFrame, path: str, sort_partition: bool = False) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _partition_lineage(path: str) -> list[dict]:
+    """Per-partition lineage for a written artifact (north rule): one entry
+    per output file with row count and byte size, read from the parquet
+    FOOTERS driver-side — no Spark job, no data scan."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, name)
+        out.append(
+            {
+                "file": name,
+                "rows": pq.ParquetFile(fp).metadata.num_rows,
+                "bytes": os.path.getsize(fp),
+            }
+        )
+    return out
+
+
 class IndexBuilder:
     def __init__(self, spark: SparkSession, out_dir: str, n_partitions: int | None = None):
         self.spark = spark
@@ -246,7 +267,13 @@ class IndexBuilder:
         return os.path.exists(os.path.join(path, "_SUCCESS"))
 
     def _mark_stage(self, name: str, **extra) -> None:
-        self.manifest["stages"][name] = {"completed_at": time.time(), **extra}
+        entry = {"completed_at": time.time(), **extra}
+        path = os.path.join(self.out_dir, name)
+        if os.path.isdir(path):
+            lineage = _partition_lineage(path)
+            entry["n_files"] = len(lineage)
+            entry["partitions"] = lineage
+        self.manifest["stages"][name] = entry
         self._save_manifest()
 
     # -- build --------------------------------------------------------------

@@ -30,14 +30,21 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
-def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10, qvec: list[float] | None = None
+) -> DataFrame:
     """Top-k neighbors of one stored vector by cosine similarity.
     Returns (vec_id, sim_r) ordered by rounded similarity desc, vec_id asc —
-    the rounding makes the k-boundary deterministic across engines."""
-    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
-    if not qrow:
-        raise ValueError(f"vec_id {query_vec_id} not found")
-    qvec = [float(v) for v in qrow[0]["embedding"]]
+    the rounding makes the k-boundary deterministic across engines.
+    Pass ``qvec`` when the query vector is already on the driver to skip the
+    point-lookup job."""
+    if qvec is None:
+        qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+        if not qrow:
+            raise ValueError(f"vec_id {query_vec_id} not found")
+        qvec = [float(v) for v in qrow[0]["embedding"]]
+    else:
+        qvec = [float(v) for v in qvec]
     qnorm = math.sqrt(sum(v * v for v in qvec))
     qcol = F.array(*[F.lit(v) for v in qvec])
 
@@ -148,6 +155,27 @@ def _lcg_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return out
 
 
+def _buckets_for_vec(vec, n_planes: int, n_tables: int, seed: int, dim: int) -> list[int]:
+    """Driver-side bucket ids for one vector — the same strict left-to-right
+    float64 accumulation as the signature kernel, so the ids are
+    bit-identical to the distributed computation."""
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float64)
+    out = []
+    for t in range(n_tables):
+        planes = _lcg_planes(n_planes, dim, seed + 7919 * t)
+        b = 0
+        for p, plane in enumerate(planes):
+            acc = np.float64(0.0)
+            for i in range(dim):
+                acc = acc + v[i] * np.float64(plane[i])
+            if acc >= 0:
+                b += 2**p
+        out.append(b)
+    return out
+
+
 def _lsh_topk_from_signed(signed: DataFrame, n_tables: int, query_vec_id: int, k: int) -> DataFrame:
     qrow = signed.filter(F.col("vec_id") == query_vec_id).first()
     if qrow is None:
@@ -173,8 +201,23 @@ def lsh_cosine_topk(
     re-rank within the candidate set.  One-shot form — signatures are
     recomputed per call; for repeated queries use LshIndex, which
     materializes them once (the at-ingest story for 100 TB)."""
+    # one-shot path avoids a first full signature pass just to read the
+    # query's buckets: fetch the query vector (parquet-pushed point lookup),
+    # compute ITS buckets driver-side with the identical fold, then run a
+    # single signature+filter pass over the corpus
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").first()
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    dim = len(qrow["embedding"])
+    qbuckets = _buckets_for_vec(qrow["embedding"], n_planes, n_tables, seed, dim)
     signed = hyperplane_signatures(embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed)
-    return _lsh_topk_from_signed(signed, n_tables, query_vec_id, k)
+    cond = None
+    for t in range(n_tables):
+        eq = F.col(f"bucket_{t}") == qbuckets[t]
+        cond = eq if cond is None else cond | eq
+    candidates = signed.filter(cond).select("vec_id", "embedding")
+    # qvec already fetched: the rescore is ONE pass over the corpus
+    return cosine_topk(candidates, query_vec_id, k=k, qvec=list(qrow["embedding"]))
 
 
 class LshIndex:

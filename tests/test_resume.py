@@ -87,3 +87,22 @@ def test_resumed_queries_match(spark, built_dirs):
     assert set(a) == set(b) and a
     for doc_id, score in a.items():
         assert b[doc_id] == _pytest.approx(score, rel=1e-9)
+
+
+def test_manifest_records_per_partition_lineage(spark, tmp_path):
+    """North rule: per-partition lineage — every written stage records one
+    entry per output file with rows + bytes matching the artifact."""
+    from searchengine_spark.indexing.build import build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 7} gamma") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "lineage_index")
+    manifest = build_index(spark, docs, out)
+    postings_stage = manifest["stages"]["postings"]
+    assert postings_stage["n_files"] == len(postings_stage["partitions"]) > 0
+    total_rows = sum(p["rows"] for p in postings_stage["partitions"])
+    assert total_rows == manifest["metrics"]["n_postings"]
+    for stage in ("doc_stats", "corpus_stats", "segments", "term_stats"):
+        parts = manifest["stages"][stage]["partitions"]
+        assert parts and all(p["bytes"] > 0 for p in parts)
