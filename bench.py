@@ -91,13 +91,24 @@ def main() -> None:
     timed("ranked_tfidf", lambda: ranked_search(index, "search engine index", mode="tfidf", k=10).count())
     from searchengine_spark.querying.wand import ranked_search_wand
 
+    # cost-gated WAND: at this index size the planner declines pruning
+    # (decode overhead > bytes saved) and runs the identical exhaustive plan
     timed("ranked_bm25_wand", lambda: ranked_search_wand(index, "spark shuffle partition", mode="bm25", k=10).count())
-    # untimed: pruning counters (bytes decoded vs total) for the same query
-    wand_stats: dict = {}
-    ranked_search_wand(index, "spark shuffle partition", mode="bm25", k=10, stats=wand_stats).count()
+    # forced-prune diagnostic: same query with the cost gate off — shows the
+    # pruned path working (fewer postings bytes decoded than total)
+    timed(
+        "ranked_bm25_wand_forced_prune",
+        lambda: ranked_search_wand(
+            index, "spark shuffle partition", mode="bm25", k=10, min_blocks_to_prune=0
+        ).count(),
+    )
+    wand_stats: dict = {}  # untimed: prune counters for the same query
+    ranked_search_wand(
+        index, "spark shuffle partition", mode="bm25", k=10, min_blocks_to_prune=0, stats=wand_stats
+    ).count()
     extras["wand_bytes_decoded"] = wand_stats.get("bytes_decoded")
     extras["wand_bytes_total"] = wand_stats.get("bytes_total")
-    extras["wand_pruned"] = wand_stats.get("pruned")
+    extras["wand_forced_pruned"] = wand_stats.get("pruned")
     # repeat for p95-ish latency signal (warm)
     lat = []
     for _ in range(5):

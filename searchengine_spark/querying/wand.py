@@ -81,7 +81,9 @@ def _exact_scores(
     postings = (
         index.get_postings(list(weights))
         .select("term", "doc_id", wdt_col)
-        .join(candidates.select("doc_id").distinct(), "doc_id", "left_semi")
+        # left_semi dedupes by construction — no .distinct() (it would add a
+        # full extra shuffle of the candidate ids before the join)
+        .join(candidates.select("doc_id"), "doc_id", "left_semi")
     )
     wqt_expr = None
     for t, w in weights.items():
@@ -105,7 +107,7 @@ def ranked_search_wand(
     round_scores: int | None = None,
     stats: dict | None = None,
     theta_mode: str = "metadata",
-    min_blocks_to_prune: int = 64,
+    min_blocks_to_prune: int = 4096,
 ) -> DataFrame:
     """Block-max-pruned top-k; rank-identical to ranked_search (same scores,
     same tie-break by ascending doc_id).
@@ -283,12 +285,14 @@ def ranked_search_wand(
     # result — pruning is purely a physical optimization, so decline it when
     # it cannot pay):
     #   1. provably inert: every block ub >= theta_eff — nothing to cut;
-    #   2. too small to amortize: the decode pass + doc_id semi-join cost a
-    #      fixed extra job; below min_blocks_to_prune total blocks
-    #      (~min_blocks_to_prune*128 postings) the exhaustive scan is
-    #      cheaper by construction (sandbox-calibrated fixed cost; at
-    #      cluster scale query terms have thousands of blocks and this gate
-    #      never triggers);
+    #   2. too small to amortize: the decode stage costs a fixed ~0.5s of
+    #      plan/worker overhead regardless of data, so pruning pays only
+    #      when the bytes it avoids scanning exceed that — below
+    #      min_blocks_to_prune total blocks (default 4096 blocks ~= 500k
+    #      postings for the query's terms) the exhaustive columnar scan is
+    #      cheaper by construction.  At 100 TB a hot term alone has millions
+    #      of blocks, so the gate only ever fires on small indexes — which
+    #      is exactly when it should;
     #   3. poor selectivity: when the dictionary holds EVERY block max for
     #      every term (n_blocks <= 32), the exact surviving fraction is
     #      computable driver-side — if a majority of blocks survive, most
