@@ -111,3 +111,33 @@ def test_matches_not_with_tokenless_docs(spark, tmp_path):
         assert got == want, q
     # token-less docs never match positive queries in either path
     assert 2 not in {r["doc_id"] for r in matches_search(idx, "cat").collect()}
+
+
+def test_hot_term_postings_split_across_partitions(spark, tmp_path):
+    """North rule: hot-term skew is defused by range partitioning on the
+    composite (term, doc_id) key — a stopword-like term's postings must NOT
+    land in a single shuffle partition (the salting-equivalent guarantee).
+    Verified against the physical output files via the manifest lineage."""
+    from pyspark.sql import functions as SF
+
+    from searchengine_spark.indexing import SparkIndex, build_index
+
+    # 2000 docs, every one contains 'the' -> df('the') = 2000 = half of all
+    # postings; tok{i} terms are the long uniform tail
+    docs = spark.createDataFrame(
+        [(i, f"the tok{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "skewsplit_index")
+    manifest = build_index(spark, docs, out, n_partitions=8)
+    idx = SparkIndex(spark, out)
+    files = (
+        idx.postings.filter(SF.col("term") == "the")
+        .select(SF.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert files > 1, "hot term confined to one partition — skew not defused"
+    # and the lineage shows balanced output partitions (no file holds >60%)
+    parts = manifest["stages"]["postings"]["partitions"]
+    total = sum(p["rows"] for p in parts)
+    assert max(p["rows"] for p in parts) / total < 0.6
