@@ -408,8 +408,13 @@ def near_dup_embedding(
     from .similarity import hyperplane_signatures
 
     signed = hyperplane_signatures(embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    # (t, bucket, vec_id, embedding) rows: the embedding rides along so the
+    # rescore happens INSIDE the bucket self-join — no separate pair
+    # materialization + two re-attach joins (which would shuffle the full
+    # embedding table twice more and the pair set once)
     sig_rows = signed.select(
         "vec_id",
+        "embedding",
         F.explode(
             F.array(
                 *[
@@ -418,15 +423,7 @@ def near_dup_embedding(
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", F.col("s.t").alias("t"), F.col("s.bucket").alias("bucket"))
-    a = sig_rows.alias("a")
-    b = sig_rows.alias("b")
-    pairs = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    ).select("vec_id", "embedding", F.col("s.t").alias("t"), F.col("s.bucket").alias("bucket"))
 
     # rescore with EXPANDED sums (element_at products added left to right) —
     # the same fold order as F.aggregate / DuckDB list_sum, so values are
@@ -441,17 +438,27 @@ def near_dup_embedding(
             expr = expr + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
         return expr
 
-    e = embeddings.select("vec_id", "embedding")
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    sim = dot_expanded(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(dot_expanded(F.col("emb_a"), F.col("emb_a")))
-        * F.sqrt(dot_expanded(F.col("emb_b"), F.col("emb_b")))
+    # NOTE: precomputing per-row norms before the join measured 2x SLOWER
+    # than evaluating all three expanded dots per pair — codegen evaluates
+    # the shared element_at loads once, and the extra pre-join projection
+    # disturbs the join's codegen pipeline — so the per-pair form stays
+    a = sig_rows.alias("a")
+    b = sig_rows.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    sim = dot_expanded(ea, eb) / (
+        F.sqrt(dot_expanded(ea, ea)) * F.sqrt(dot_expanded(eb, eb))
     )
+    # a pair colliding in several tables is rescored to the IDENTICAL
+    # deterministic value, so the final distinct collapses duplicates after
+    # the threshold filter has already shrunk the row set
     return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", (F.round(sim, 4) + F.lit(0.0)).alias("sim_r"))
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.round(sim, 4) + F.lit(0.0)).alias("sim_r"),
+        )
         .filter(F.col("sim_r") >= threshold)
-        .select("vec_a", "vec_b", "sim_r")
+        .distinct()
     )
