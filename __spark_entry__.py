@@ -43,6 +43,7 @@ BOOL_AND_Q = "hash join"
 BOOL_AND_NOT_Q = "hash -join"
 BOOL_OR_Q = "merge + window"
 BOOL_PHRASE_Q = '"table scan"'
+BOOL_MIXED_Q = 'merge + "table scan" -hash'
 RANKED_Q = "hash join spark"
 
 
@@ -219,6 +220,13 @@ def q_bool_phrase_persisted(spark, sf_dir):
     return boolean_search(_persisted_index(spark, sf_dir), BOOL_PHRASE_Q)
 
 
+def q_matches_mixed(spark, sf_dir):
+    # Q7 scan-side predicate evaluation (phrase approximated as AND)
+    from searchengine_spark.querying.boolean import matches_search
+
+    return matches_search(_engine(spark, sf_dir), BOOL_MIXED_Q)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -246,6 +254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_not": _bool(BOOL_AND_NOT_Q),
         "bool_or": _bool(BOOL_OR_Q),
         "bool_phrase": _bool(BOOL_PHRASE_Q),
+        "bool_mixed": _bool(BOOL_MIXED_Q),
+        "matches_mixed": q_matches_mixed,
         "ranked_bm25": _ranked(RANKED_Q, "bm25"),
         "ranked_tfidf": _ranked(RANKED_Q, "tfidf"),
         "ranked_bm25_filtered": _ranked(RANKED_Q, "bm25", lang_filter="en"),
@@ -280,6 +290,8 @@ def oracle_sql() -> dict[str, str]:
         "bool_and_not": dk.sql_boolean(BOOL_AND_NOT_Q),
         "bool_or": dk.sql_boolean(BOOL_OR_Q),
         "bool_phrase": dk.sql_boolean(BOOL_PHRASE_Q),
+        "bool_mixed": dk.sql_boolean(BOOL_MIXED_Q),
+        "matches_mixed": dk.sql_matches(BOOL_MIXED_Q),
         "ranked_bm25": dk.sql_ranked(RANKED_Q, "bm25"),
         "ranked_tfidf": dk.sql_ranked(RANKED_Q, "tfidf"),
         "ranked_bm25_filtered": dk.sql_ranked(RANKED_Q, "bm25", lang_filter="en"),

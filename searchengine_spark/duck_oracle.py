@@ -146,6 +146,28 @@ def sql_boolean(raw_query: str) -> str:
     return base_ctes() + "\nSELECT doc_id FROM (" + _ast_to_sql(parse_query(raw_query)) + ")"
 
 
+def _phrase_as_and(node: Node) -> Node:
+    """Q7 semantics: matches() approximates phrases as AND-of-terms
+    (reference phraseliteral.py:68-69)."""
+    if isinstance(node, Phrase):
+        return And(tuple(Term(t) for t in node.terms))
+    if isinstance(node, Not):
+        return Not(_phrase_as_and(node.child))
+    if isinstance(node, And):
+        return And(tuple(_phrase_as_and(c) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(_phrase_as_and(c) for c in node.children))
+    return node
+
+
+def sql_matches(raw_query: str) -> str:
+    """Twin of querying.boolean.matches_search: the same AST with phrases
+    relaxed to AND; positive queries never match token-less docs, so the
+    postings-derived doc sets coincide with the scan-side evaluation."""
+    node = _phrase_as_and(parse_query(raw_query))
+    return base_ctes() + "\nSELECT doc_id FROM (" + _ast_to_sql(node) + ")"
+
+
 # --- ranked ---------------------------------------------------------------
 def _ranked_scores(terms: list[str], mode: str, lang_filter: str | None) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
