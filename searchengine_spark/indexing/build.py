@@ -53,13 +53,19 @@ POSTINGS_SCHEMA = (
     "wdt_bm25 double, wdt_tfidf_norm double"
 )
 
+RAW_POSTINGS_SCHEMA = "term string, doc_id long, tf long, positions array<long>"
 
-def _postings_kernel(avgdl: float):
+
+def _postings_kernel(avgdl: float | None):
     """Vectorized grouping kernel: input partitions sorted by
     (term, doc_id, position); output one row per (term, doc_id) with tf,
     the position list, and the precomputed K3/K4 document weights
     (rankedquery.py:22,24 — wdt_bm25 with k1=1.2, b=0.75 so 2.2 = k1+1 and
     0.25 = 1-b).  All numpy.
+
+    ``avgdl=None`` yields the RAW form (term, doc_id, tf, positions) with
+    no weight columns and no doc_len/l2 inputs — the streaming delta shape,
+    where weights are deferred to compaction because avgdl drifts.
 
     Memory: Arrow batches are processed as they STREAM — each batch emits
     every complete (term, doc_id) group and carries only the trailing
@@ -75,30 +81,28 @@ def _postings_kernel(avgdl: float):
         term = pdf["term"].to_numpy()
         doc = pdf["doc_id"].to_numpy(dtype=np.int64)
         pos = pdf["position"].to_numpy(dtype=np.int64)
-        dlen = pdf["doc_len"].to_numpy(dtype=np.float64)
-        l2 = pdf["l2_weight"].to_numpy(dtype=np.float64)
         n = len(pdf)
         change = np.empty(n, dtype=bool)
         change[0] = True
         change[1:] = (term[1:] != term[:-1]) | (doc[1:] != doc[:-1])
         starts = np.flatnonzero(change)
         tf = np.diff(np.append(starts, n)).astype(np.int64)
-        dl = dlen[starts]
-        tf_f = tf.astype(np.float64)
-        wdt_bm25 = ((BM25_K1 + 1.0) * tf_f) / (
-            BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)) + tf_f
-        )
-        wdt_tfidf = (1.0 + np.log(tf_f)) / l2[starts]
-        return pd.DataFrame(
-            {
-                "term": term[starts],
-                "doc_id": doc[starts],
-                "tf": tf,
-                "positions": np.split(pos, starts[1:]),
-                "wdt_bm25": wdt_bm25,
-                "wdt_tfidf_norm": wdt_tfidf,
-            }
-        )
+        out = {
+            "term": term[starts],
+            "doc_id": doc[starts],
+            "tf": tf,
+            "positions": np.split(pos, starts[1:]),
+        }
+        if avgdl is not None:
+            dlen = pdf["doc_len"].to_numpy(dtype=np.float64)
+            l2 = pdf["l2_weight"].to_numpy(dtype=np.float64)
+            dl = dlen[starts]
+            tf_f = tf.astype(np.float64)
+            out["wdt_bm25"] = ((BM25_K1 + 1.0) * tf_f) / (
+                BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)) + tf_f
+            )
+            out["wdt_tfidf_norm"] = (1.0 + np.log(tf_f)) / l2[starts]
+        return pd.DataFrame(out)
 
     def fn(iterator):
         import pandas as pd

@@ -79,16 +79,19 @@ class StreamingIndexer:
         tokens = tokenize(docs, text_col="text", id_col="doc_id").persist()
 
         epoch_dir = os.path.join(self.deltas_dir, f"epoch={epoch_id}")
-        # raw postings delta (no weights yet — see module docstring)
+        # raw postings delta (no weights yet — see module docstring); same
+        # sorted-partition numpy kernel as the batch build instead of a
+        # collect_list object aggregation (ObjectHashAggregate is GC-bound
+        # and falls back to sort-based — the batch build measured it 3-6x
+        # slower than the kernel)
+        from ..indexing.build import RAW_POSTINGS_SCHEMA, _postings_kernel
+
         tf_pos = (
             tokens.filter(F.col("term") != "")
+            .select("term", "doc_id", "position")
             .repartitionByRange(self.n_partitions, "term", "doc_id")
             .sortWithinPartitions("term", "doc_id", "position")
-            .groupBy("term", "doc_id")
-            .agg(
-                F.count("*").alias("tf"),
-                F.sort_array(F.collect_list("position")).alias("positions"),
-            )
+            .mapInPandas(_postings_kernel(None), schema=RAW_POSTINGS_SCHEMA)
         )
         tf_pos.write.mode("overwrite").parquet(os.path.join(epoch_dir, "postings_raw"))
 
