@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 from .indexing.logical import (
     corpus_stats_table,
     doc_stats_table,
-    postings_all_table,
     term_stats_table,
     weighted_postings_table,
 )
@@ -25,11 +24,22 @@ from .text.spark_tokenize import tokenize
 
 class DocumentsEngine:
     def __init__(self, spark: SparkSession, docs: DataFrame):
-        """docs: (doc_id:long, text:string [+ metadata columns])."""
+        """docs: (doc_id:long, text:string [+ metadata columns]).
+
+        Postings come from the same range-shuffle + sorted-partition numpy
+        kernel as the persisted build (empty terms kept for doc_length/L_d
+        accounting) — no collect_list ObjectHashAggregate anywhere."""
+        from .indexing.build import RAW_POSTINGS_SCHEMA, _postings_kernel
+
         self.spark = spark
         self.docs = docs
         self.tokens = tokenize(docs.select("doc_id", "text"))
-        postings_all = postings_all_table(self.tokens)
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        postings_all = (
+            self.tokens.repartitionByRange(n_parts, "term", "doc_id")
+            .sortWithinPartitions("term", "doc_id", "position")
+            .mapInPandas(_postings_kernel(None), schema=RAW_POSTINGS_SCHEMA)
+        )
         self.doc_stats = doc_stats_table(postings_all).persist()
         row = corpus_stats_table(self.doc_stats).collect()[0]
         self.n_docs = int(row["n_docs"])
