@@ -399,8 +399,11 @@ def near_dup_embedding(
 
     This is the 100 TB shape: no cartesian/BroadcastNestedLoopJoin anywhere
     (asserted by tools/explain_audit.py) — the pair space is a hash-join on
-    uniformly distributed bucket keys and the rescore is two narrow
-    embedding-attach joins.  Per-table recall for a pair at angle theta is
+    uniformly distributed bucket keys with the rescore fused into the join
+    (embeddings ride the signature rows; n_tables-fold duplication of the
+    embedding column through one shuffle traded against the three extra
+    shuffles a pair-materialize + re-attach plan costs — if embeddings are
+    very wide relative to n_tables, flip that tradeoff).  Per-table recall for a pair at angle theta is
     (1 - theta/pi)^n_planes, amortized over n_tables to
     1 - (1 - p)^n_tables; raise n_planes (smaller buckets) as N grows and
     n_tables to recover recall.  The DuckDB twin inlines the identical LCG
