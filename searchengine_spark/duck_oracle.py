@@ -160,11 +160,32 @@ def _phrase_as_and(node: Node) -> Node:
     return node
 
 
+def _reject_naked_not(node: Node) -> None:
+    """The postings-algebra twin only expresses negation inside AND groups
+    (EXCEPT against positive siblings); a NOT directly under OR (or at the
+    root) has scan-side complement semantics the twin cannot mirror — fail
+    loudly instead of miscompiling (see matches_search docstring)."""
+    if isinstance(node, Not):
+        raise ValueError(
+            "sql_matches cannot express a negative-only clause outside an AND group"
+        )
+    if isinstance(node, Or):
+        for c in node.children:
+            _reject_naked_not(c)
+    if isinstance(node, And):
+        for c in node.children:
+            if not isinstance(c, Not):
+                _reject_naked_not(c)
+
+
 def sql_matches(raw_query: str) -> str:
     """Twin of querying.boolean.matches_search: the same AST with phrases
     relaxed to AND; positive queries never match token-less docs, so the
-    postings-derived doc sets coincide with the scan-side evaluation."""
+    postings-derived doc sets coincide with the scan-side evaluation.
+    Negative-only OR disjuncts are rejected (scan-side complement semantics
+    are not postings-expressible — matches_search docstring)."""
     node = _phrase_as_and(parse_query(raw_query))
+    _reject_naked_not(node)
     return base_ctes() + "\nSELECT doc_id FROM (" + _ast_to_sql(node) + ")"
 
 

@@ -133,11 +133,28 @@ _DOCID_CACHES: list[DataFrame] = []
 
 
 def release_docid_caches() -> None:
-    """Unpersist every ranged corpus cached by assign_doc_ids.  Each build /
-    streaming epoch calls this once its artifacts are durable; without it
-    every build pins a cached copy of the corpus until session end."""
+    """Unpersist every ranged corpus cached by assign_doc_ids — a global
+    drain for sessions with one producer at a time.  Builders that received
+    a frame carrying its own ``_docid_cache`` handle release just that one
+    (release_docid_cache_of), so concurrent builders on one session do not
+    evict each other's in-flight caches."""
     while _DOCID_CACHES:
         _DOCID_CACHES.pop().unpersist()
+
+
+def release_docid_cache_of(df: DataFrame) -> bool:
+    """Release only the cache backing this assign_doc_ids output (the
+    handle is propagated on the returned DataFrame).  Returns True when a
+    handle was found and released."""
+    cache = getattr(df, "_docid_cache", None)
+    if cache is None:
+        return False
+    cache.unpersist()
+    try:
+        _DOCID_CACHES.remove(cache)
+    except ValueError:
+        pass
+    return True
 
 
 def assign_doc_ids(
@@ -184,6 +201,7 @@ def assign_doc_ids(
         .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
+    out._docid_cache = ranged  # scoped-release handle (release_docid_cache_of)
     return out
 
 
@@ -214,7 +232,9 @@ def prepare_transcripts(df: DataFrame) -> DataFrame:
     """Transcript table (input_hint schema) -> docs: one turn = one document;
     title = conv_id:turn_idx (SURVEY.md §1.3)."""
     docs = assign_doc_ids(df)
-    return docs.withColumn("title", F.concat_ws(":", "conv_id", "turn_idx"))
+    out = docs.withColumn("title", F.concat_ws(":", "conv_id", "turn_idx"))
+    out._docid_cache = docs._docid_cache
+    return out
 
 
 def _write(df: DataFrame, path: str, sort_partition: bool = False) -> None:
@@ -423,7 +443,10 @@ class IndexBuilder:
         if hasattr(tokens, "_types_cache"):
             tokens._types_cache.unpersist()
         docs.unpersist()
-        release_docid_caches()
+        # release the docID cache behind OUR input frame; fall back to the
+        # global drain only when no scoped handle was propagated
+        if not release_docid_cache_of(docs):
+            release_docid_caches()
         return self.manifest
 
 

@@ -35,15 +35,7 @@ def _words(text_col):
     return F.filter(F.split(F.lower(text_col), " "), lambda x: F.length(x) > 0)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's default parallelism when
-    the input arrives in fewer partitions (e.g. one small parquet file), so
-    Arrow kernels use every core.  At 100 TB the input is already
-    many-partitioned and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .similarity import _spread  # shared small-input fan-out policy
 
 
 def _shingles(words):
@@ -410,7 +402,16 @@ def near_dup_embedding(
     hyperplanes, so the gate compares identical candidate sets."""
     from .similarity import hyperplane_signatures
 
-    signed = hyperplane_signatures(embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    drow = embeddings.select(F.size("embedding").alias("d")).first()
+    if drow is None:  # empty input: empty pair set, stable schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim_r double"
+        )
+    dim = int(drow["d"])
+
+    signed = hyperplane_signatures(
+        embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim
+    )
     # (t, bucket, vec_id, embedding) rows: the embedding rides along so the
     # rescore happens INSIDE the bucket self-join — no separate pair
     # materialization + two re-attach joins (which would shuffle the full
@@ -433,8 +434,6 @@ def near_dup_embedding(
     # bit-identical to the SQL twin, but the expression is plain arithmetic
     # inside whole-stage codegen instead of an interpreted lambda fold
     # (measured ~10x on million-pair candidate sets)
-    dim = int(embeddings.select(F.size("embedding").alias("d")).first()["d"])
-
     def dot_expanded(a, b):
         expr = F.lit(0.0)
         for i in range(1, dim + 1):

@@ -18,6 +18,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the input arrives in fewer partitions (e.g. one small parquet file), so
+    Arrow kernels use every core.  At 100 TB the input is already
+    many-partitioned and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -84,7 +95,11 @@ def hyperplane_signatures_expr(
 
 
 def hyperplane_signatures(
-    embeddings: DataFrame, n_planes: int = 8, n_tables: int = 1, seed: int = 42
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: per table t, the sign pattern of
     n_planes seeded projections -> integer bucket column ``bucket_t``.
@@ -102,8 +117,14 @@ def hyperplane_signatures(
     column-loop, one fused multiply-add per dimension across the whole
     batch) — bit-identical to the expression fold / DuckDB list_sum, so the
     sign decisions and bucket ids match the SQL twin exactly
-    (test_pipeline_ops parity)."""
-    dim = int(embeddings.select(F.size("embedding").alias("d")).first()["d"])
+    (test_pipeline_ops parity).  Pass ``dim`` when the caller already knows
+    the vector width to skip the probing job."""
+    if dim is None:
+        row = embeddings.select(F.size("embedding").alias("d")).first()
+        if row is None:  # empty input: no planes needed, empty output
+            dim = 0
+        else:
+            dim = int(row["d"])
     all_planes = [
         _lcg_planes(n_planes, dim, seed + 7919 * t) for t in range(n_tables)
     ]
@@ -133,14 +154,14 @@ def hyperplane_signatures(
                 out[f"bucket_{t}"] = b
             yield pd.DataFrame(out)
 
-    schema = "vec_id long, embedding array<float>, " + ", ".join(
+    # carry the embedding column's ACTUAL type through (array<float> vs
+    # array<double> — hard-coding float would silently truncate double
+    # embeddings before the exact rescore)
+    emb_type = embeddings.schema["embedding"].dataType.simpleString()
+    schema = f"vec_id long, embedding {emb_type}, " + ", ".join(
         f"bucket_{t} long" for t in range(n_tables)
     )
-    target = embeddings.sparkSession.sparkContext.defaultParallelism
-    src = embeddings.select("vec_id", "embedding")
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
-    return src.mapInPandas(fn, schema=schema)
+    return _spread(embeddings.select("vec_id", "embedding")).mapInPandas(fn, schema=schema)
 
 
 def _lcg_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:

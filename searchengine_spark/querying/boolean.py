@@ -131,7 +131,15 @@ def matches_search(index: SparkIndex, raw_query: str) -> DataFrame:
         correctly satisfy NOT clauses (their term set is empty);
       * a pure-negative query (root is NOT, or an AND with no positive
         children) returns the empty set, exactly as compile_node does —
-        the reference treats bare NOT as unanswerable (notquery.py:9-13)."""
+        the reference treats bare NOT as unanswerable (notquery.py:9-13).
+
+    Known divergence, inherited from the reference: a negative-only OR
+    disjunct ('cat + -dog') evaluates scan-side as
+    contains(cat) OR NOT contains(dog) (reference orquery.py:25-26 +
+    notquery.py:18-19 compose exactly so), while the index path treats the
+    bare NOT disjunct as contributing nothing and returns docs(cat).  The
+    two reference paths disagree the same way; gates only use queries where
+    the paths agree (pinned in test_matches.py)."""
     node = parse_query(raw_query)
     if isinstance(node, Not) or (
         isinstance(node, And) and not any(c.is_positive() for c in node.children)

@@ -122,7 +122,10 @@ def ranked_search_wand(
       * "seeded": decode the highest-ub blocks covering oversample*k
         postings and exact-score them for a tighter theta — an extra
         distributed scoring pass; worth it only when block maxima are skewed
-        enough that tighter pruning pays for the second job.
+        enough that tighter pruning pays for the second job.  This mode
+        re-derives the block ub plan per pass (segment metadata is rescanned
+        up to three times) — it is a diagnostic/occasional mode; persist
+        index.segments externally before using it hot.
 
     Pass a dict as ``stats`` to get block/byte pruning counters filled in
     (costs two extra metadata aggregations — diagnostics, not the hot
@@ -166,6 +169,7 @@ def ranked_search_wand(
 
     cutoff = None
     min_ub = None
+    term_meta: dict[str, dict] | None = None
     top_col = "top_block_max_bm25" if mode == "bm25" else "top_block_max_tfidf_norm"
     min_col = "min_block_max_bm25" if mode == "bm25" else "min_block_max_tfidf_norm"
     dict_has_blockmeta = all(
@@ -175,24 +179,25 @@ def ranked_search_wand(
     if theta_mode == "metadata" and dict_has_blockmeta:
         # ZERO extra jobs: the persisted dictionary carries per-term block
         # tops (build.py term_stats stage), already collected by
-        # term_stats_for above.  theta = max_t wqt_t * (k-th largest block
-        # max of t) — valid because block maxima of one term are attained by
-        # disjoint docs; min_ub decides whether pruning can fire at all.
-        theta = float("-inf")
-        min_ub = float("inf")
-        for t in weights:
-            r = stats_rows[t]
-            tops = r[top_col] or []
-            if int(r.get("n_blocks") or 0) >= k and len(tops) >= k:
-                theta = max(theta, weights[t] * float(tops[k - 1]))
-            min_ub = min(min_ub, weights[t] * float(r[min_col]) + (gmax_total - gmax[t]))
+        # term_stats_for above.
+        term_meta = {
+            t: {
+                "tops": [float(v) for v in (stats_rows[t][top_col] or [])],
+                "n_blocks": int(stats_rows[t]["n_blocks"]),
+                "min_max": float(stats_rows[t][min_col]),
+            }
+            for t in weights
+        }
     elif theta_mode == "metadata":
         # in-session index without block metadata: ONE tiny per-term
-        # aggregate collect over segment metadata (no blobs).
+        # aggregate collect over segment metadata (no blobs).  Tops are
+        # collected UNCAPPED per term (n_blocks strings of one term — small
+        # for any realistic query) so the selectivity gate below sees the
+        # full distribution exactly like the dictionary path.
         per_term = (
             blocks.groupBy("term")
             .agg(
-                F.slice(F.sort_array(F.collect_list(F.col(max_col)), asc=False), 1, k).alias("tops"),
+                F.sort_array(F.collect_list(F.col(max_col)), asc=False).alias("tops"),
                 F.count("*").alias("n_blocks"),
                 F.min(F.col(max_col)).alias("min_max_wdt"),
             )
@@ -200,13 +205,27 @@ def ranked_search_wand(
         )
         if not per_term:
             return empty
+        term_meta = {
+            r["term"]: {
+                "tops": [float(v) for v in r["tops"]],
+                "n_blocks": int(r["n_blocks"]),
+                "min_max": float(r["min_max_wdt"]),
+            }
+            for r in per_term
+        }
+    if term_meta is not None:
+        # theta = max_t wqt_t * (k-th largest block max of t) — valid
+        # because block maxima of one term are attained by disjoint docs;
+        # min_ub decides whether pruning can fire at all.
         theta = float("-inf")
         min_ub = float("inf")
-        for r in per_term:
-            t = r["term"]
-            if int(r["n_blocks"]) >= k:
-                theta = max(theta, weights[t] * float(r["tops"][-1]))
-            min_ub = min(min_ub, weights[t] * float(r["min_max_wdt"]) + (gmax_total - gmax[t]))
+        for t in weights:
+            if t not in term_meta:
+                continue
+            m = term_meta[t]
+            if m["n_blocks"] >= k and len(m["tops"]) >= k:
+                theta = max(theta, weights[t] * m["tops"][k - 1])
+            min_ub = min(min_ub, weights[t] * m["min_max"] + (gmax_total - gmax[t]))
     else:
         # pass 1 (driver sees metadata only): ub cutoff covering
         # >= oversample*k postings.  TakeOrderedAndProject over two numeric
@@ -298,17 +317,15 @@ def ranked_search_wand(
     #      computable driver-side — if a majority of blocks survive, most
     #      bytes get decoded anyway and the scan wins.
     prune_viable = not (min_ub is not None and theta_eff <= min_ub)
-    if prune_viable and min_ub is not None and dict_has_blockmeta and theta_mode == "metadata":
-        total_blocks = sum(int(stats_rows[t]["n_blocks"]) for t in weights)
+    if prune_viable and term_meta is not None:
+        total_blocks = sum(m["n_blocks"] for m in term_meta.values())
         if total_blocks < min_blocks_to_prune:
             prune_viable = False
-        elif all(len(stats_rows[t][top_col] or []) == int(stats_rows[t]["n_blocks"]) for t in weights):
+        elif all(len(m["tops"]) == m["n_blocks"] for m in term_meta.values()):
             surviving = 0
-            for t in weights:
+            for t, m in term_meta.items():
                 rest = gmax_total - gmax[t]
-                surviving += sum(
-                    1 for v in stats_rows[t][top_col] if weights[t] * float(v) + rest >= theta_eff
-                )
+                surviving += sum(1 for v in m["tops"] if weights[t] * v + rest >= theta_eff)
             if total_blocks and surviving / total_blocks > 0.5:
                 prune_viable = False
 

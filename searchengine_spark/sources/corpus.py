@@ -112,4 +112,6 @@ def read_directory_corpus(spark: SparkSession, path: str) -> DataFrame:
     for p in parts[1:]:
         corpus = corpus.unionByName(p)
     with_ids = assign_doc_ids(corpus, order_cols=("path",))
-    return with_ids.select("doc_id", "title", "text")
+    out = with_ids.select("doc_id", "title", "text")
+    out._docid_cache = with_ids._docid_cache
+    return out

@@ -71,10 +71,11 @@ class StreamingIndexer:
             return  # retried epoch: already durable (idempotent sink)
         base = m["next_doc_id"]
 
-        docs = assign_doc_ids(batch_df, n_partitions=self.n_partitions)
-        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(base)).withColumn(
+        assigned = assign_doc_ids(batch_df, n_partitions=self.n_partitions)
+        docs = assigned.withColumn("doc_id", F.col("doc_id") + F.lit(base)).withColumn(
             "title", F.concat_ws(":", "conv_id", "turn_idx")
         ).persist()
+        docs._docid_cache = assigned._docid_cache
 
         tokens = tokenize(docs, text_col="text", id_col="doc_id").persist()
 
@@ -121,9 +122,10 @@ class StreamingIndexer:
         self._save(m)
         tokens.unpersist()
         docs.unpersist()
-        from ..indexing.build import release_docid_caches
+        from ..indexing.build import release_docid_cache_of, release_docid_caches
 
-        release_docid_caches()
+        if not release_docid_cache_of(docs):
+            release_docid_caches()
 
     # -- driver ------------------------------------------------------------
     def start(self, source_path: str, checkpoint_dir: str, available_now: bool = True):

@@ -113,6 +113,31 @@ def test_matches_not_with_tokenless_docs(spark, tmp_path):
     assert 2 not in {r["doc_id"] for r in matches_search(idx, "cat").collect()}
 
 
+def test_build_releases_only_its_own_docid_cache(spark, tmp_path):
+    """Two corpora with assigned ids in flight: building from one must not
+    evict the other's ranged cache (scoped release via the propagated
+    handle)."""
+    from searchengine_spark.indexing import build_index
+    from searchengine_spark.indexing.build import assign_doc_ids, release_docid_cache_of
+
+    a = assign_doc_ids(
+        spark.createDataFrame([(i, f"alpha tok{i}") for i in range(30)], "k long, text string"),
+        order_cols=("k",),
+    )
+    b = assign_doc_ids(
+        spark.createDataFrame([(i, f"beta tok{i}") for i in range(30)], "k long, text string"),
+        order_cols=("k",),
+    )
+    a_cache, b_cache = a._docid_cache, b._docid_cache
+    # pass the handle-carrying frame itself (a select would drop the handle
+    # and the build would fall back to the global drain)
+    build_index(spark, a, str(tmp_path / "scoped_a"))
+    assert a_cache.storageLevel.useMemory is False  # released by its build
+    assert b_cache.storageLevel.useMemory is True  # untouched
+    assert release_docid_cache_of(b)  # caller releases its own
+    assert b_cache.storageLevel.useMemory is False
+
+
 def test_hot_term_postings_split_across_partitions(spark, tmp_path):
     """North rule: hot-term skew is defused by range partitioning on the
     composite (term, doc_id) key — a stopword-like term's postings must NOT

@@ -22,3 +22,26 @@ def test_matches_phrase_is_and_approximation(spark_index, oracle_index):
     got = {r["doc_id"] for r in matches_search(spark_index, '"quick fox"').collect()}
     want = oracle_index.search_boolean("quick fox")  # AND, not adjacency
     assert got == want
+
+
+def test_matches_negative_or_disjunct_reference_divergence(spark_index):
+    """'cat + -dog' — reference-faithful divergence pin: the scan path
+    evaluates contains(cat) OR NOT contains(dog) (orquery.py:25-26,
+    notquery.py:18-19) while the index path yields docs(cat) (a bare NOT
+    disjunct contributes nothing).  Both behaviors are intentional; the
+    oracle twin refuses the query rather than miscompiling it."""
+    import pytest as _pytest
+
+    from searchengine_spark import duck_oracle as dk
+    from searchengine_spark.querying.boolean import boolean_search, matches_search
+
+    q = "cat + -dog"
+    idx_docs = {r["doc_id"] for r in boolean_search(spark_index, q).collect()}
+    scan_docs = {r["doc_id"] for r in matches_search(spark_index, q).collect()}
+    cat = {r["doc_id"] for r in boolean_search(spark_index, "cat").collect()}
+    dog = {r["doc_id"] for r in boolean_search(spark_index, "dog").collect()}
+    universe = {r["doc_id"] for r in spark_index.doc_stats.select("doc_id").collect()}
+    assert idx_docs == cat
+    assert scan_docs == cat | (universe - dog)
+    with _pytest.raises(ValueError, match="negative-only"):
+        dk.sql_matches(q)
