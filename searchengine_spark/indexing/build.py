@@ -409,9 +409,11 @@ class IndexBuilder:
             _write(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), os.path.join(out, "term_stats"))
             self._mark_stage("term_stats")
 
-        # build metrics (north rule: postings/sec, skew ratio, lineage)
+        # build metrics (north rule: postings/sec, skew ratio, lineage).
+        # n_postings comes from the per-partition lineage (parquet footers)
+        # recorded at stage completion — no re-scan of the postings table.
         elapsed = time.time() - t0
-        n_postings = postings_df.count()
+        n_postings = sum(p["rows"] for p in self.manifest["stages"]["postings"]["partitions"])
         total_tokens = int(stats_row["total_tokens"])
         df_stats = (
             spark.read.parquet(os.path.join(out, "term_stats"))
