@@ -60,21 +60,63 @@ def _persisted_index(spark: SparkSession, sf_dir: str):
     run build_index (tokenize -> range shuffle -> _postings_kernel ->
     varbyte segments -> parquet artifacts), then read it back as a
     SparkIndex.  Gates built on this verify the persisted pipeline against
-    the DuckDB oracle, not just the in-session engine."""
+    the DuckDB oracle, not just the in-session engine.
+
+    Cache key = (applicationId, absolute sf_dir); the on-disk path embeds a
+    hash of the absolute sf_dir so two dirs sharing a basename cannot
+    overwrite each other's artifacts, and stale gate_index dirs from earlier
+    runs of this process are removed before the rebuild."""
+    import hashlib
     import os
+    import shutil
 
     ensure_package_on_workers(spark)
-    key = (id(spark), sf_dir)
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
     if key not in _PINDEX_CACHE:
         from searchengine_spark.indexing.build import build_index
         from searchengine_spark.indexing.index import SparkIndex
 
-        tag = os.path.basename(os.path.normpath(sf_dir))
+        tag = os.path.basename(os.path.normpath(sf_abs))
+        path_hash = hashlib.md5(sf_abs.encode()).hexdigest()[:8]
         scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
-        out = os.path.join(scratch, f"gate_index_{os.getpid()}_{tag}")
+        out = os.path.join(scratch, f"gate_index_{os.getpid()}_{tag}_{path_hash}")
+        shutil.rmtree(out, ignore_errors=True)
         build_index(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), out)
         _PINDEX_CACHE[key] = SparkIndex(spark, out)
     return _PINDEX_CACHE[key]
+
+
+_EINDEX_CACHE: dict = {}
+
+
+def _persisted_embedding_index(spark: SparkSession, sf_dir: str):
+    """Build-once LSH embedding index (pipeline/embedding_index.py): the
+    signature pass runs at build time and is written as a parquet artifact
+    (bucket columns materialized at ingest); gates built on this verify the
+    persisted candidate-generation path against the same DuckDB oracle as
+    the in-session queries.  Same cache/path discipline as
+    _persisted_index above."""
+    import hashlib
+    import os
+    import shutil
+
+    ensure_package_on_workers(spark)
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    if key not in _EINDEX_CACHE:
+        from searchengine_spark.pipeline.embedding_index import build_embedding_index
+
+        tag = os.path.basename(os.path.normpath(sf_abs))
+        path_hash = hashlib.md5(sf_abs.encode()).hexdigest()[:8]
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        out = os.path.join(scratch, f"gate_eindex_{os.getpid()}_{tag}_{path_hash}")
+        shutil.rmtree(out, ignore_errors=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _EINDEX_CACHE[key] = build_embedding_index(
+            spark, emb, out, n_planes=4, n_tables=8, seed=42
+        )
+    return _EINDEX_CACHE[key]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,6 +230,16 @@ def q_near_dup_embedding(spark, sf_dir):
     )
 
 
+def q_near_dup_embedding_persisted(spark, sf_dir):
+    # same parameters as q_near_dup_embedding, but candidates come from the
+    # PERSISTED bucket artifact (signatures read back from parquet)
+    return _persisted_embedding_index(spark, sf_dir).near_dups(threshold=0.4)
+
+
+def q_ann_lsh_topk_persisted(spark, sf_dir):
+    return _persisted_embedding_index(spark, sf_dir).topk(query_vec_id=0, k=10)
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal_meta(_docs(spark, sf_dir))
 
@@ -273,9 +325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_embedding": q_near_dup_embedding,
+        "near_dup_embedding_persisted": q_near_dup_embedding_persisted,
         "multimodal_meta": q_multimodal_meta,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_topk_persisted": q_ann_lsh_topk_persisted,
     }
 
 
@@ -309,7 +363,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dk.sql_simhash(32),
         "ngram_jaccard": dk.sql_ngram_jaccard(0.5, 100),
         "near_dup_embedding": dk.sql_near_dup_embedding(0.4, 4, 8, 42, 64),
+        "near_dup_embedding_persisted": dk.sql_near_dup_embedding(0.4, 4, 8, 42, 64),
         "multimodal_meta": dk.sql_multimodal_meta(),
         "ann_cosine_topk": dk.sql_cosine_topk(0, 10),
         "ann_lsh_topk": dk.sql_lsh_topk(0, 10, 4, 8, 42, 64),
+        "ann_lsh_topk_persisted": dk.sql_lsh_topk(0, 10, 4, 8, 42, 64),
     }

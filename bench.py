@@ -43,6 +43,38 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(200, int(30000 *
 
 
 def main() -> None:
+    # Capture fd 2 for the whole run: the JVM inherits it, so any
+    # `ERROR CodeGenerator` (janino compile failure -> silent interpreted
+    # fallback, ~10x slower) lands in the capture file.  The run FAILS
+    # loudly on such lines instead of silently costing the fallback —
+    # round-2 regression guard (VERDICT.md finding 1/9).
+    stderr_file = tempfile.NamedTemporaryFile(
+        mode="w+b", prefix="bench_stderr_", delete=False
+    )
+    orig_fd = os.dup(2)
+    os.dup2(stderr_file.fileno(), 2)
+    try:
+        _run()
+    finally:
+        sys.stderr.flush()
+        os.dup2(orig_fd, 2)
+        os.close(orig_fd)
+        stderr_file.seek(0)
+        captured = stderr_file.read().decode(errors="replace")
+        stderr_file.close()
+        os.unlink(stderr_file.name)
+        sys.stderr.write(captured)
+        sys.stderr.flush()
+    n_codegen_errors = captured.count("ERROR CodeGenerator")
+    if n_codegen_errors:
+        sys.stderr.write(
+            f"\nBENCH FAILED: {n_codegen_errors} 'ERROR CodeGenerator' line(s) in "
+            "driver stderr — an expression fell back to interpreted evaluation\n"
+        )
+        sys.exit(1)
+
+
+def _run() -> None:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod

@@ -134,6 +134,11 @@ def _ast_to_sql(node: Node) -> str:
     if isinstance(node, And):
         positive = [c for c in node.children if c.is_positive()]
         negative = [c for c in node.children if not c.is_positive()]
+        if not positive:
+            # pure-negative group: both Spark paths (compile_node and
+            # matches_search) return the empty set — emit a valid empty-set
+            # SELECT instead of the malformed '() EXCEPT (...)'
+            return "SELECT doc_id FROM postings WHERE 1 = 0"
         sql = " INTERSECT ".join(f"({_ast_to_sql(c)})" for c in positive)
         for child in negative:
             assert isinstance(child, Not)
@@ -283,7 +288,7 @@ def sql_fingerprint() -> str:
 def sql_dedup_exact() -> str:
     return (
         "SELECT md5(text) AS doc_md5, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_copies"
-        " FROM documents GROUP BY text"
+        " FROM documents GROUP BY md5(text)"
     )
 
 

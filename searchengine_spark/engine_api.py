@@ -78,13 +78,20 @@ class DocumentsEngine:
         self.postings.unpersist()
 
 
-_ENGINE_CACHE: dict[tuple[int, str], DocumentsEngine] = {}
+_ENGINE_CACHE: dict[tuple[str, str], DocumentsEngine] = {}
 
 
 def documents_engine(spark: SparkSession, sf_dir: str) -> DocumentsEngine:
-    """Cached engine over {sf_dir}/documents.parquet."""
-    key = (id(spark), sf_dir)
+    """Cached engine over {sf_dir}/documents.parquet.  Keyed on the
+    session's applicationId (not id(spark): a freed id can be reused by a
+    NEW session, aliasing it to a stale engine whose persisted frames died
+    with the old session).  Entries from other applications are evicted —
+    their cached frames are unreachable once their session stops."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _ENGINE_CACHE:
+        for stale in [k for k in _ENGINE_CACHE if k[0] != app_id]:
+            del _ENGINE_CACHE[stale]
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         _ENGINE_CACHE[key] = DocumentsEngine(spark, docs)
     return _ENGINE_CACHE[key]

@@ -413,7 +413,12 @@ class IndexBuilder:
         # n_postings comes from the per-partition lineage (parquet footers)
         # recorded at stage completion — no re-scan of the postings table.
         elapsed = time.time() - t0
-        n_postings = sum(p["rows"] for p in self.manifest["stages"]["postings"]["partitions"])
+        # pre-lineage manifests (resumed builds recorded before per-partition
+        # lineage existed) lack the "partitions" key — fall back to a count
+        lineage = self.manifest["stages"]["postings"].get("partitions")
+        n_postings = (
+            sum(p["rows"] for p in lineage) if lineage else postings_df.count()
+        )
         total_tokens = int(stats_row["total_tokens"])
         df_stats = (
             spark.read.parquet(os.path.join(out, "term_stats"))
@@ -445,9 +450,15 @@ class IndexBuilder:
         if hasattr(tokens, "_types_cache"):
             tokens._types_cache.unpersist()
         docs.unpersist()
-        # release the docID cache behind OUR input frame; fall back to the
-        # global drain only when no scoped handle was propagated
-        if not release_docid_cache_of(docs):
+        # release the docID cache behind OUR input frame.  The scoped handle
+        # is a plain attribute that intermediate transformations drop; when
+        # it is missing, drain the registry only if it holds exactly ONE
+        # cache (the unambiguous single-producer case) — draining all of
+        # them would evict other in-flight builders' caches and force
+        # recomputes.  Multi-builder sessions that transform the frame
+        # between assign_doc_ids and build() own the release via
+        # release_docid_caches() / release_docid_cache_of().
+        if not release_docid_cache_of(docs) and len(_DOCID_CACHES) == 1:
             release_docid_caches()
         return self.manifest
 

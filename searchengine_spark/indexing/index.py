@@ -72,9 +72,15 @@ class SparkIndex:
         rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: r.asDict() for r in rows}
 
-    # R5: title attach — results are top-k (tiny), broadcast them into the
-    # join against doc_stats rather than shuffling doc_stats
+    # R5: title attach — results are top-k (tiny), broadcast them as the
+    # BUILD side of an INNER join so doc_stats streams without shuffling.
+    # (A left-outer join here cannot broadcast the preserved left side —
+    # Spark only supports BuildRight for LeftOuter, so the hint would be
+    # dropped and doc_stats would shuffle at scale.  Inner is equivalent:
+    # every result doc_id exists in doc_stats by construction.)
     def with_titles(self, results: DataFrame) -> DataFrame:
         if "title" not in self.doc_stats.columns:
             return results
-        return F.broadcast(results).join(self.doc_stats.select("doc_id", "title"), "doc_id", "left")
+        return F.broadcast(results).join(
+            self.doc_stats.select("doc_id", "title"), "doc_id", "inner"
+        )

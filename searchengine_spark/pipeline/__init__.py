@@ -9,12 +9,15 @@ from .dedup import (
     simhash,
     simhash_kernel,
 )
+from .embedding_index import EmbeddingIndex, build_embedding_index
 from .multimodal import attach_payload, extract_meta, multimodal_meta
 from .similarity import LshIndex, cosine_topk, hyperplane_signatures, lsh_cosine_topk
 from .textops import dedup_exact, fingerprint, lang_id, quality_score, token_count
 
 __all__ = [
+    "EmbeddingIndex",
     "LshIndex",
+    "build_embedding_index",
     "attach_payload",
     "cosine_topk",
     "dedup_exact",

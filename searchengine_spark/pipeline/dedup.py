@@ -412,6 +412,16 @@ def near_dup_embedding(
     signed = hyperplane_signatures(
         embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim
     )
+    return near_dup_from_signed(signed, n_tables=n_tables, threshold=threshold, dim=dim)
+
+
+def near_dup_from_signed(
+    signed: DataFrame, n_tables: int, threshold: float, dim: int
+) -> DataFrame:
+    """Candidate join + exact rescore over an already-signed frame
+    (vec_id, embedding, bucket_0..bucket_{n_tables-1}) — shared by the
+    in-session path above and the persisted EmbeddingIndex, whose signature
+    pass ran once at build time."""
     # (t, bucket, vec_id, embedding) rows: the embedding rides along so the
     # rescore happens INSIDE the bucket self-join — no separate pair
     # materialization + two re-attach joins (which would shuffle the full
@@ -429,37 +439,65 @@ def near_dup_embedding(
         ).alias("s"),
     ).select("vec_id", "embedding", F.col("s.t").alias("t"), F.col("s.bucket").alias("bucket"))
 
-    # rescore with EXPANDED sums (element_at products added left to right) —
-    # the same fold order as F.aggregate / DuckDB list_sum, so values are
-    # bit-identical to the SQL twin, but the expression is plain arithmetic
-    # inside whole-stage codegen instead of an interpreted lambda fold
-    # (measured ~10x on million-pair candidate sets)
-    def dot_expanded(a, b):
-        expr = F.lit(0.0)
-        for i in range(1, dim + 1):
-            expr = expr + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        return expr
-
-    # NOTE: precomputing per-row norms before the join measured 2x SLOWER
-    # than evaluating all three expanded dots per pair — codegen evaluates
-    # the shared element_at loads once, and the extra pre-join projection
-    # disturbs the join's codegen pipeline — so the per-pair form stays
+    # rescore in a vectorized numpy kernel over the bucket-joined candidate
+    # rows.  An inline expanded-sum expression (3 x dim element_at products in
+    # one expression tree) FAILS janino compilation at dim=64 and silently
+    # falls back to interpreted evaluation — ~10x the constant factor and the
+    # slowest gated query in round 2 — so the three dots are computed in
+    # Arrow batches instead.  The fold is a strict left-to-right float64
+    # accumulation over the dimension axis (one vectorized += per dimension
+    # across the whole batch): per pair it performs the IDENTICAL IEEE op
+    # sequence as F.aggregate / DuckDB list_sum, so values stay bit-identical
+    # to the SQL twin; F.round is applied Spark-side so rounding semantics
+    # are unchanged.  numpy does not fuse multiply-add, so no FMA divergence.
     a = sig_rows.alias("a")
     b = sig_rows.alias("b")
-    ea, eb = F.col("a.embedding"), F.col("b.embedding")
-    sim = dot_expanded(ea, eb) / (
-        F.sqrt(dot_expanded(ea, ea)) * F.sqrt(dot_expanded(eb, eb))
-    )
-    # a pair colliding in several tables is rescored to the IDENTICAL
-    # deterministic value, so the final distinct collapses duplicates after
-    # the threshold filter has already shrunk the row set
-    return (
+    candidates = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            (F.round(sim, 4) + F.lit(0.0)).alias("sim_r"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+    )
+
+    def rescore(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.empty((n, dim), dtype=np.float64)
+            B = np.empty((n, dim), dtype=np.float64)
+            for r, (ea, eb) in enumerate(zip(pdf["emb_a"], pdf["emb_b"])):
+                A[r] = np.asarray(ea, dtype=np.float64)  # exact float->double widening
+                B[r] = np.asarray(eb, dtype=np.float64)
+            ab = np.zeros(n, dtype=np.float64)
+            aa = np.zeros(n, dtype=np.float64)
+            bb = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # strict left-to-right fold per pair
+                ab += A[:, i] * B[:, i]
+                aa += A[:, i] * A[:, i]
+                bb += B[:, i] * B[:, i]
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "sim": ab / (np.sqrt(aa) * np.sqrt(bb)),
+                }
+            )
+
+    rescored = candidates.mapInPandas(rescore, schema="vec_a long, vec_b long, sim double")
+    # a pair colliding in several tables is rescored to the IDENTICAL
+    # deterministic value, so the final distinct collapses duplicates after
+    # the threshold filter has already shrunk the row set
+    return (
+        rescored.select(
+            "vec_a", "vec_b", (F.round("sim", 4) + F.lit(0.0)).alias("sim_r")
         )
         .filter(F.col("sim_r") >= threshold)
         .distinct()

@@ -93,12 +93,14 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
-    """Exact dedup via groupBy(text): representative = min doc_id.
-    Hash-group aggregation — partial agg on mappers, one shuffle on the
-    (hashed) text key; at 100 TB group by md5(text) instead to shrink
-    shuffle rows (same plan shape)."""
+    """Exact dedup via groupBy(md5(text)): representative = min doc_id.
+    Hashing BEFORE the aggregation means the shuffle key (and the map-side
+    partial-agg hash table) carries a 32-byte digest instead of the full
+    document body — at 100 TB the shuffle I/O is the digest, not the text.
+    md5 collisions are cryptographically negligible at any corpus size; the
+    SQL twin groups identically."""
     return (
-        docs.groupBy("text")
+        docs.select(F.md5("text").alias("doc_md5"), "doc_id")
+        .groupBy("doc_md5")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
-        .select(F.md5("text").alias("doc_md5"), "keep_doc_id", "n_copies")
     )

@@ -102,7 +102,20 @@ def read_directory_corpus(spark: SparkSession, path: str) -> DataFrame:
         try:
             df = reader(spark, path)
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            # match the structured error class first (stable across Spark
+            # versions); message substrings are only the legacy fallback for
+            # errors raised without a class
+            error_class = None
+            get_cls = getattr(e, "getErrorClass", None)
+            if callable(get_cls):
+                try:
+                    error_class = get_cls()
+                except Exception:
+                    error_class = None
+            if error_class == "PATH_NOT_FOUND" or (
+                error_class is None
+                and ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e))
+            ):
                 continue
             raise
         parts.append(df.select("path", "title", "text"))

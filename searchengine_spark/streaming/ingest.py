@@ -122,9 +122,11 @@ class StreamingIndexer:
         self._save(m)
         tokens.unpersist()
         docs.unpersist()
-        from ..indexing.build import release_docid_cache_of, release_docid_caches
+        from ..indexing.build import _DOCID_CACHES, release_docid_cache_of, release_docid_caches
 
-        if not release_docid_cache_of(docs):
+        # same policy as IndexBuilder.build: scoped release, falling back to
+        # the drain only in the unambiguous single-cache case
+        if not release_docid_cache_of(docs) and len(_DOCID_CACHES) == 1:
             release_docid_caches()
 
     # -- driver ------------------------------------------------------------

@@ -23,7 +23,14 @@ def test_with_titles_attaches_result_titles(spark_index):
     from searchengine_spark.querying.ranked import ranked_search
 
     top = ranked_search(spark_index, "the search engine", k=5)
-    titled = spark_index.with_titles(top).collect()
+    titled_df = spark_index.with_titles(top)
+    # plan shape: the tiny top-k must be the BUILD side of a broadcast hash
+    # join (BuildLeft), not a shuffle of doc_stats — a left-outer join here
+    # would silently drop the hint (only BuildRight is legal for LeftOuter)
+    plan = titled_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BuildLeft" in plan, plan
+    titled = titled_df.collect()
     assert 0 < len(titled) <= 5
     stats = {
         r["doc_id"]: r["title"]

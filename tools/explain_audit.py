@@ -37,6 +37,22 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
+    # fd-2 capture: the JVM inherits it, so janino compile failures
+    # (`ERROR CodeGenerator` -> silent interpreted fallback) are caught as a
+    # hard audit failure (VERDICT r2 finding 1)
+    stderr_file = tempfile.NamedTemporaryFile(mode="w+b", prefix="audit_stderr_", delete=False)
+    orig_fd = os.dup(2)
+    os.dup2(stderr_file.fileno(), 2)
+    try:
+        _audit(stderr_file, orig_fd)
+    finally:
+        if os.fstat(2).st_ino == os.fstat(stderr_file.fileno()).st_ino:
+            os.dup2(orig_fd, 2)
+        os.close(orig_fd)
+        os.unlink(stderr_file.name)
+
+
+def _audit(stderr_file, orig_fd) -> None:
     from pyspark.sql import functions as F
 
     from searchengine_spark.data.transcripts import generate_turns, spark_schema, turns_as_rows
@@ -114,6 +130,25 @@ def main() -> None:
     p7 = plan_of(wand_df)
     sections.append(("WAND top-k (K6, metadata theta)", p7))
     checks.append(("WAND returns a lazy plan", "TakeOrderedAndProject" in p7, "operator present pre-collect"))
+
+    # 8: every audited query must EXECUTE without a janino compile failure —
+    # `ERROR CodeGenerator` means whole-stage codegen silently fell back to
+    # interpreted evaluation (the round-2 near_dup regression, ~10x cost)
+    nd.count()
+    wand_df.count()
+    sys.stderr.flush()
+    os.dup2(orig_fd, 2)  # restore before reading so later writes are visible
+    stderr_file.seek(0)
+    captured = stderr_file.read().decode(errors="replace")
+    sys.stderr.write(captured)
+    n_cg = captured.count("ERROR CodeGenerator")
+    checks.append(
+        (
+            "no janino codegen compile failures",
+            n_cg == 0,
+            f"'ERROR CodeGenerator' x{n_cg} in driver stderr",
+        )
+    )
 
     # write PLANS.md
     out = [
