@@ -197,6 +197,16 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    # Cavnar-Trenkle trigram classifier (T9 functional closure; the
+    # reference's langdetect is absent in-container).  Production path is
+    # the zero-shuffle Arrow kernel; tested bit-identical to the
+    # expression plan the SQL twin mirrors.
+    from searchengine_spark.pipeline import lang_id_ngram
+
+    return lang_id_ngram(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
@@ -242,6 +252,14 @@ def q_ann_lsh_topk_persisted(spark, sf_dir):
 
 def q_multimodal_meta(spark, sf_dir):
     return multimodal_meta(_docs(spark, sf_dir))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    # real header parsing: synthesize PNG/WAV/raw payloads from the docs,
+    # parse the bytes back; twin derives expectations arithmetically
+    from searchengine_spark.pipeline import multimodal_decode
+
+    return multimodal_decode(_docs(spark, sf_dir))
 
 
 def q_spell_correct(spark, sf_dir):
@@ -319,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -327,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embedding": q_near_dup_embedding,
         "near_dup_embedding_persisted": q_near_dup_embedding_persisted,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_topk_persisted": q_ann_lsh_topk_persisted,
@@ -357,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": dk.sql_token_count(),
         "quality_score": dk.sql_quality_score(),
         "lang_id": dk.sql_lang_id(),
+        "lang_id_ngram": dk.sql_lang_id_ngram(),
         "fingerprint": dk.sql_fingerprint(),
         "dedup_exact": dk.sql_dedup_exact(),
         "dedup_minhash": dk.sql_dedup_minhash(12, 3),
@@ -365,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embedding": dk.sql_near_dup_embedding(0.4, 4, 8, 42, 64),
         "near_dup_embedding_persisted": dk.sql_near_dup_embedding(0.4, 4, 8, 42, 64),
         "multimodal_meta": dk.sql_multimodal_meta(),
+        "multimodal_decode": dk.sql_multimodal_decode(),
         "ann_cosine_topk": dk.sql_cosine_topk(0, 10),
         "ann_lsh_topk": dk.sql_lsh_topk(0, 10, 4, 8, 42, 64),
         "ann_lsh_topk_persisted": dk.sql_lsh_topk(0, 10, 4, 8, 42, 64),

@@ -278,6 +278,55 @@ SELECT doc_id,
 FROM m"""
 
 
+def sql_lang_id_ngram(top_k: int = 32, profile_size: int = 64) -> str:
+    """Cavnar-Trenkle trigram classifier twin (pipeline/langid_ngram.py):
+    identical normalization, trigram extraction, row_number ranking,
+    out-of-place distance and lexicographic tie-break — all integer/string
+    ops, so the hash comparison is exact.  The language profiles are inlined
+    as a VALUES list from the same seed passages the Spark side uses."""
+    from searchengine_spark.pipeline.langid_ngram import language_profiles
+
+    profiles = language_profiles(profile_size)
+    values = ", ".join(
+        f"('{lang}', '{tri}', {rank})"
+        for lang in sorted(profiles)
+        for tri, rank in sorted(profiles[lang].items(), key=lambda kv: kv[1])
+    )
+    return f"""
+WITH prof(lang, tri, prank) AS (VALUES {values}),
+langs AS (SELECT DISTINCT lang FROM prof),
+norm AS (
+  SELECT doc_id, ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) || ' ' AS s
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(s) - 1), i -> substring(s, CAST(i AS INT), 3))) AS tri
+  FROM norm WHERE length(s) >= 3
+),
+top AS (
+  SELECT doc_id, tri, r FROM (
+    SELECT doc_id, tri,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tri ASC) AS r
+    FROM tris GROUP BY doc_id, tri
+  ) WHERE r <= {top_k}
+),
+dist AS (
+  SELECT t.doc_id, l.lang,
+         sum(coalesce(abs(t.r - p.prank), {profile_size}))::BIGINT AS d
+  FROM top t CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.tri = t.tri
+  GROUP BY t.doc_id, l.lang
+),
+winner AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY d ASC, lang ASC) AS wr
+    FROM dist
+  ) WHERE wr = 1
+)
+SELECT d.doc_id, coalesce(w.lang, 'unknown') AS lang_pred
+FROM documents d LEFT JOIN winner w ON d.doc_id = w.doc_id"""
+
+
 def sql_fingerprint() -> str:
     return (
         "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp"
@@ -434,6 +483,32 @@ SELECT doc_id, n_bytes, payload_md5,
        (1 + n_bytes % 640)::INT AS width,
        (1 + (n_bytes * 7) % 480)::INT AS height,
        (1 + n_bytes % 16)::INT AS n_frames
+FROM b"""
+
+
+def sql_multimodal_decode() -> str:
+    """Twin for pipeline/multimodal.py::multimodal_decode.  The Spark side
+    SYNTHESIZES real PNG/WAV containers from (doc_id, text) and then PARSES
+    their bytes back; this twin computes the expected metadata arithmetically
+    from the construction rules — an independent derivation, so a hash match
+    proves the byte-level parser recovered the injected values."""
+    return """
+WITH b AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'unknown' END AS format,
+       CASE doc_id % 3
+            WHEN 0 THEN (1 + doc_id % 640)::INT
+            WHEN 1 THEN NULL
+            ELSE (1 + n % 640)::INT END AS width,
+       CASE doc_id % 3
+            WHEN 0 THEN (1 + doc_id % 480)::INT
+            WHEN 1 THEN NULL
+            ELSE (1 + (n * 7) % 480)::INT END AS height,
+       CASE doc_id % 3 WHEN 1 THEN (8000 * (1 + doc_id % 6))::INT ELSE NULL END AS sample_rate,
+       CASE doc_id % 3
+            WHEN 0 THEN 1
+            WHEN 1 THEN (n // (2 * (1 + doc_id % 2)))::INT
+            ELSE (1 + n % 16)::INT END AS n_frames
 FROM b"""
 
 

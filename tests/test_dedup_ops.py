@@ -105,11 +105,41 @@ def test_multimodal_meta_plumbing(docs):
     assert 1 <= out[0]["width"] <= 640 and 1 <= out[0]["height"] <= 480
 
 
-def test_decode_media_is_stub():
-    from searchengine_spark.pipeline.multimodal import decode_media
+def test_decode_media_parses_png_and_wav():
+    from searchengine_spark.pipeline.multimodal import decode_media, make_png, make_wav
 
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG")
+    png = decode_media(make_png(320, 200, b"pixels"))
+    assert (png["format"], png["width"], png["height"], png["n_frames"]) == ("png", 320, 200, 1)
+    assert png["sample_rate"] is None
+
+    wav = decode_media(make_wav(16000, 2, b"0123456789ab"))
+    assert (wav["format"], wav["sample_rate"]) == ("wav", 16000)
+    assert wav["n_frames"] == 12 // 4  # 12 data bytes / (2 ch * 2 bytes)
+    assert wav["width"] is None and wav["height"] is None
+
+    assert decode_media(b"plain text payload") is None  # unrecognized -> fake path
+
+    # recognized signature with malformed layout fails loudly
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\nnot-an-ihdr-chunk-here....")
+    with pytest.raises(ValueError):
+        decode_media(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_multimodal_decode_round_trip(spark, docs):
+    # synthesized container bytes parse back to the injected values
+    from searchengine_spark.pipeline import multimodal_decode
+
+    out = {r["doc_id"]: r for r in multimodal_decode(docs).collect()}
+    for d, r in out.items():
+        if d % 3 == 0:
+            assert r["format"] == "png"
+            assert (r["width"], r["height"]) == (1 + d % 640, 1 + d % 480)
+        elif d % 3 == 1:
+            assert r["format"] == "wav"
+            assert r["sample_rate"] == 8000 * (1 + d % 6)
+        else:
+            assert r["format"] == "unknown"
 
 
 def test_spell_suggestions(spark):
