@@ -39,3 +39,22 @@ def test_gate_sample(spark):
         srows = sorted(tuple(r) for r in sdf.collect())
         drows = sorted(tuple(r) for r in con.sql(oracles[name]).fetchall())
         assert srows == drows, f"{name} mismatch"
+
+
+def test_engine_cache_keys_on_application_id(spark):
+    # a cache entry from another (stopped) session must be evicted, and a
+    # recycled id(spark) can never alias a stale engine: the key is the
+    # sessions's applicationId, not the interpreter id
+    from searchengine_spark import engine_api
+    from searchengine_spark.engine_api import _ENGINE_CACHE, documents_engine
+
+    sf_dir = "/root/testdata/sf0.001"
+    stale = object()  # stands in for an engine whose session is gone
+    _ENGINE_CACHE.clear()
+    _ENGINE_CACHE[("app-from-a-dead-session", sf_dir)] = stale
+
+    eng = documents_engine(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    assert (app_id, sf_dir) in _ENGINE_CACHE
+    assert all(k[0] == app_id for k in _ENGINE_CACHE), "stale entry not evicted"
+    assert documents_engine(spark, sf_dir) is eng  # same session -> cached

@@ -34,12 +34,14 @@ def oracle_docs(turns):
 
 def test_doc_id_assignment_matches_stable_order(spark, transcripts_df, turns):
     from searchengine_spark.indexing import prepare_transcripts
+    from searchengine_spark.indexing.build import release_docid_cache_of
 
     docs = prepare_transcripts(transcripts_df)
     got = {
         (r["conv_id"], r["turn_idx"]): r["doc_id"]
         for r in docs.select("conv_id", "turn_idx", "doc_id").collect()
     }
+    release_docid_cache_of(docs)
     ordered = sorted(turns, key=lambda t: (t.conv_id, t.turn_idx))
     want = {(t.conv_id, t.turn_idx): i for i, t in enumerate(ordered)}
     assert got == want
@@ -62,11 +64,14 @@ def test_tokenize_parity(spark, transcripts_df, oracle_docs):
     from searchengine_spark.indexing import prepare_transcripts
     from searchengine_spark.text.spark_tokenize import tokenize
 
+    from searchengine_spark.indexing.build import release_docid_cache_of
+
     docs = prepare_transcripts(transcripts_df)
     got = sorted(
         (r["doc_id"], r["position"], r["term"])
         for r in tokenize(docs).collect()
     )
+    release_docid_cache_of(docs)
     want = []
     from searchengine_spark.text import terms_with_positions
 
