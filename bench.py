@@ -160,18 +160,28 @@ def _run() -> None:
 
     # -- 3. training-data ops over testdata tables ---------------------------
     qs = entrymod.queries()
+    # build the persisted embedding index untimed: the *_persisted entries
+    # time the QUERY over the artifact (the one-off signature build is the
+    # ingest cost, reported separately)
+    t = time.perf_counter()
+    entrymod._persisted_embedding_index(spark, SF_DIR)
+    extras["embedding_index_build_s"] = round(time.perf_counter() - t, 3)
     for name in (
         "token_count",
         "quality_score",
         "lang_id",
+        "lang_id_ngram",
         "fingerprint",
         "dedup_exact",
         "dedup_minhash",
         "dedup_simhash",
         "ngram_jaccard",
         "near_dup_embedding",
+        "near_dup_embedding_persisted",
+        "multimodal_decode",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_lsh_topk_persisted",
     ):
         if name in qs:
             timed(name, lambda name=name: qs[name](spark, SF_DIR).count())
