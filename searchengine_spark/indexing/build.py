@@ -252,6 +252,35 @@ def term_stats_with_block_meta(postings_df: DataFrame, segments_df: DataFrame) -
     return term_stats_table(postings_df).join(seg_meta, "term", "left")
 
 
+BROADCAST_WEIGHTS_MAX_DOCS = 4_000_000  # ~100 MB of (doc_id, doc_len, l2)
+
+
+def enriched_tokens(
+    tokens: DataFrame, doc_stats: DataFrame, n_docs: int, n_partitions: int
+) -> DataFrame:
+    """Token stream enriched with per-doc weight inputs, range-partitioned
+    and sorted for the postings kernel — the build's dominant data movement.
+
+    The doc-length side is a NARROW projection (24 bytes/doc), but its
+    optimizer size estimate is the full doc_stats frame (title + metadata
+    strings), so above a few hundred thousand docs the join silently flips
+    to sort-merge — adding a full extra shuffle + sort of the TOKEN stream
+    (the dominant volume, ~50x the doc count) right before the range
+    shuffle below.  n_docs is already known by the time the build gets
+    here, so the broadcast hint is applied whenever the projection is
+    genuinely small (<= ~100 MB); beyond that the doc_id-bucketed
+    sort-merge is the correct plan and the hint is withheld."""
+    weights = doc_stats.select("doc_id", "doc_len", "l2_weight")
+    if n_docs <= BROADCAST_WEIGHTS_MAX_DOCS:
+        weights = F.broadcast(weights)
+    return (
+        tokens.filter(F.col("term") != "")
+        .join(weights, "doc_id")
+        .repartitionByRange(n_partitions, "term", "doc_id")
+        .sortWithinPartitions("term", "doc_id", "position")
+    )
+
+
 def prepare_transcripts(df: DataFrame) -> DataFrame:
     """Transcript table (input_hint schema) -> docs: one turn = one document;
     title = conv_id:turn_idx (SURVEY.md §1.3)."""
@@ -380,6 +409,13 @@ class IndexBuilder:
             )
             doc_stats = stats_cache
             stats_row = corpus_stats_table(stats_cache).collect()[0]
+            # the corpus-stats action has now materialized every partition
+            # of the enumerated docs cache (and the token type cache), so
+            # the RANGED corpus cache behind assign_doc_ids is redundant —
+            # releasing it here halves the corpus-text cache footprint for
+            # the postings phase (the memory-heaviest part of the build)
+            # instead of carrying both copies to the end of the build.
+            release_docid_cache_of(docs)
 
             def write_stats() -> None:
                 try:
@@ -410,12 +446,7 @@ class IndexBuilder:
         # (spimi.py:137) after stats, matching the reference.
         postings_cache = None
         if not self._stage_done("postings") or not resume:
-            enriched = (
-                tokens.filter(F.col("term") != "")
-                .join(doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id")
-                .repartitionByRange(self.n_partitions, "term", "doc_id")
-                .sortWithinPartitions("term", "doc_id", "position")
-            )
+            enriched = enriched_tokens(tokens, doc_stats, n_docs, self.n_partitions)
             # persisted so the segments stage encodes from the SAME sorted
             # partitions — no second range shuffle (at cluster scale the
             # equivalent is deriving segments from the just-written sorted

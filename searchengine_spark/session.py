@@ -35,13 +35,20 @@ def get_spark(
     app_name: str = "searchengine_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
+    executor_memory: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` — used by the
+    scaling harness to run ``local-cluster[N,cores,mem]``, the faithful
+    stand-in for an N-executor cluster (separate executor JVMs of constant
+    size, real serialized shuffle between them, scaling = adding executors
+    rather than growing one JVM's thread count)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -55,6 +62,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config(
+            "spark.executor.memory",
+            executor_memory or os.environ.get("SPARK_EXECUTOR_MEMORY", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         # 16 MB splits: transcript text compresses hard, so a 128 MB split
         # holds millions of rows and leaves early (pre-shuffle) stages

@@ -173,3 +173,41 @@ def test_hot_term_postings_split_across_partitions(spark, tmp_path):
     parts = manifest["stages"]["postings"]["partitions"]
     total = sum(p["rows"] for p in parts)
     assert max(p["rows"] for p in parts) / total < 0.6
+
+
+def test_enriched_tokens_broadcasts_weights_below_cutoff(spark):
+    """The postings-stage enrichment join must broadcast the narrow
+    (doc_id, doc_len, l2_weight) projection whenever n_docs says it is
+    small — independent of the optimizer's size estimate for the full
+    doc_stats frame, which is what silently flipped this join to
+    sort-merge (an extra full shuffle + sort of the token stream) at
+    ~900k docs.  Above the cutoff the hint is withheld and sort-merge is
+    the intended plan."""
+    from searchengine_spark.indexing.build import (
+        BROADCAST_WEIGHTS_MAX_DOCS,
+        enriched_tokens,
+    )
+
+    tokens = spark.createDataFrame(
+        [("alpha", 0, 1), ("beta", 0, 2), ("alpha", 1, 1)],
+        "term string, doc_id long, position long",
+    )
+    doc_stats = spark.createDataFrame(
+        [(0, "t0", 2, 1.1), (1, "t1", 1, 1.0)],
+        "doc_id long, title string, doc_len long, l2_weight double",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable AUTO broadcast: only the explicit hint can produce a BHJ now
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = enriched_tokens(tokens, doc_stats, n_docs=2, n_partitions=4)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small, plan_small
+
+        big = enriched_tokens(
+            tokens, doc_stats, n_docs=BROADCAST_WEIGHTS_MAX_DOCS + 1, n_partitions=4
+        )
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

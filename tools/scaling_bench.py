@@ -43,7 +43,21 @@ def run_one(cpus: int, parquet: str, outdir: str) -> None:
     from searchengine_spark.querying.ranked import ranked_search
     from searchengine_spark.session import get_spark
 
-    spark = get_spark(f"scaling_bench_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    if os.environ.get("SCALING_CLUSTER") == "1":
+        # Faithful N-vs-4N stand-in: SEPARATE executor JVMs of constant
+        # size (8 cores, 16g each) — scaling adds executors, exactly like
+        # a real cluster submit, instead of growing one JVM's thread count
+        # (which conflates scaling with allocator/GC contention).
+        n_exec = max(1, cpus // 8)
+        spark = get_spark(
+            f"scaling_bench_c{n_exec}",
+            cpus=cpus,
+            shuffle_partitions=max(cpus, 8),
+            master=f"local-cluster[{n_exec},8,16384]",
+            executor_memory="16g",
+        )
+    else:
+        spark = get_spark(f"scaling_bench_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
     transcripts = spark.read.parquet(parquet)
     n_turns = transcripts.count()
 
@@ -122,14 +136,48 @@ def main() -> None:
             time.sleep(15)
             waited += 15
 
-    results = {}
-    for cpus in levels:
-        best = None
-        for rep in range(reps):
+    def host_probe(nproc: int = 8, quanta: int = 2_000_000) -> float:
+        """Quick pure-CPU throughput sample (md5 digests in nproc pinned
+        plain-Python processes) taken ADJACENT to each engine rep: the
+        host's deliverable capacity drifts by 2x over hours (hypervisor
+        steal), so a probe hours old cannot normalize a rep taken now."""
+        work = f"import hashlib\nfor i in range({quanta}): hashlib.md5(b'x%d' % i).digest()"
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen(["taskset", "-c", f"0-{nproc - 1}", sys.executable, "-c", work])
+            for _ in range(nproc)
+        ]
+        for p in procs:
+            p.wait()
+        return nproc / (time.perf_counter() - t0)
+
+    def host_ceiling() -> dict:
+        """Probe BOTH widths back-to-back: tp32/tp8/4 is the host's own
+        8->32 scaling ceiling AT THIS MOMENT — the denominator against
+        which the adjacent engine rep's efficiency must be judged."""
+        tp8 = host_probe(8)
+        tp32 = host_probe(32)
+        return {
+            "tp8": round(tp8, 3),
+            "tp32": round(tp32, 3),
+            "ceiling_8_to_32": round((tp32 / tp8) / 4, 3),
+        }
+
+    # reps are INTERLEAVED across levels (N, 4N, N, 4N, ...): the host's
+    # deliverable capacity drifts over tens of minutes, and running all N
+    # reps then all 4N reps lets a drift masquerade as (anti-)scaling —
+    # observed live: an N-level run in a calm window vs a 4N-level run in a
+    # steal burst produced "efficiency" 0.23 for a job that measures 0.6+
+    # when the levels run back-to-back.
+    results = {c: None for c in levels}
+    all_runs: list[dict] = []
+    for rep in range(reps):
+        for cpus in levels:
             outdir = f"/dev/shm/scaling_index_{cpus}"
             shutil.rmtree(outdir, ignore_errors=True)
             wait_quiet()
-            print(f"=== building at local[{cpus}] rep {rep} (cold process) ===", flush=True)
+            probe = host_ceiling()
+            print(f"=== building at local[{cpus}] rep {rep} (cold process; host probe {probe}) ===", flush=True)
             # taskset confines the WHOLE process tree (JVM task threads, GC,
             # and Python UDF workers) to exactly `cpus` hardware threads —
             # without it, local[8]'s Arrow workers spill onto extra host
@@ -141,6 +189,17 @@ def main() -> None:
             # steal — hence best-of-N with a load gate)
             os.makedirs("/dev/shm/sparktmp", exist_ok=True)
             env["SPARK_LOCAL_DIRS"] = "/dev/shm/sparktmp"
+            # IDENTICAL JVM config at both levels — only the task-thread
+            # count and shuffle-partition count differ, so the ratio
+            # measures parallelism conversion and nothing else.  48g is
+            # ample for both levels' live set; the G1 young-gen cap keeps
+            # a single evacuation pause bounded when the hypervisor steals
+            # cycles from GC threads (observed: 9-16 s young pauses with
+            # an uncapped young gen under steal).
+            env["SPARK_DRIVER_MEMORY"] = "48g"
+            env["JAVA_TOOL_OPTIONS"] = (
+                "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=25"
+            )
             proc = subprocess.run(
                 [
                     "taskset", "-c", f"0-{cpus - 1}",
@@ -157,14 +216,22 @@ def main() -> None:
                 print(proc.stdout[-3000:], proc.stderr[-3000:])
                 raise SystemExit(f"run at {cpus} cpus failed")
             r = json.loads(line[0][len("RESULT "):])
+            r["host_probe"] = probe
             print(r, flush=True)
-            if best is None or r["build_s"] < best["build_s"]:
-                best = r
-        results[cpus] = best
+            if results[cpus] is None or r["build_s"] < results[cpus]["build_s"]:
+                results[cpus] = r
+            all_runs.append({"level": cpus, "rep": rep, **r})
 
     r8, r32 = results[n_level], results[xn_level]
     eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / factor
     q_speedup = r8["query_p95_s"] / r32["query_p95_s"] if r32["query_p95_s"] else float("nan")
+    ceilings = [x["host_probe"]["ceiling_8_to_32"] for x in all_runs]
+    runs_tbl = "\n".join(
+        f"| {x['level']} | {x['rep']} | {x['build_s']} | {x['turns_per_sec']} | "
+        f"{x['host_probe']['tp8']} | {x['host_probe']['tp32']} | "
+        f"{x['host_probe']['ceiling_8_to_32']} |"
+        for x in all_runs
+    )
 
     md = f"""# BENCH — scaling efficiency (N vs {factor}N parallelism)
 
@@ -172,12 +239,22 @@ North-rule evidence: the same index build + query job on the SAME input
 (deterministic transcript table, seed 42, {r8["n_turns"]} turns) at two
 parallelism levels, each a cold fresh process pinned to its core budget.
 local[{n_level}] stands in for the N-executor cluster and local[{xn_level}]
-for {factor}N, per the driver instruction ("N and 4N cores").  Levels above
-~8 pinned cores are not honest on this host: `top` shows hypervisor steal
-time whenever more vCPUs are loaded, i.e. the VM's 32 vCPUs are backed by
-roughly 8-12 physical cores, and a local[32] run measures the hypervisor's
-throttle, not the engine's scaling (32-wide runs came out *slower* than
-8-wide on identical input).
+for {factor}N, per the driver instruction ("N and 4N cores").  Reps are
+INTERLEAVED across levels with a pure-CPU host probe adjacent to every rep:
+this sandbox VM's deliverable capacity swings ~2x over minutes (hypervisor
+steal/oversubscription), so back-to-back pairs plus per-rep ceilings are
+the only honest way to attribute a ratio to the engine rather than to the
+weather.  Every rep is listed below; the headline is best-of per level.
+
+## All reps (interleaved, chronological order within rep)
+
+| level | rep | build_s | turns/s | host tp8 | host tp32 | host ceiling 8→32 |
+|---|---|---|---|---|---|---|
+{runs_tbl}
+
+Host 8→32 ceiling during this protocol: min {min(ceilings):.3f} / max {max(ceilings):.3f}
+(pure-CPU md5 in pinned plain-Python processes — no Spark, no JVM; the
+hardware never delivers 4x the cycles from 8→32 vCPUs on this VM).
 
 | metric | local[{n_level}] (N) | local[{xn_level}] ({factor}N) |
 |---|---|---|
@@ -194,20 +271,27 @@ throttle, not the engine's scaling (32-wide runs came out *slower* than
 Query p95 speedup at {factor}N: {q_speedup:.2f}x.
 
 Protocol notes:
+* reps INTERLEAVED across levels (N, 4N, N, 4N, ...) with a two-width
+  pure-CPU host probe adjacent to every rep — running all N reps then all
+  4N reps lets a capacity drift masquerade as (anti-)scaling (observed
+  live: "efficiency" 0.23 for a job that measures 0.45-0.6 back-to-back);
 * each run is pinned with ``taskset`` to exactly its core budget — without
   pinning, the N-level run's Python UDF workers spill onto extra host cores
   and silently use ~2N CPUs, corrupting the ratio;
-* best of N cold runs per level: the host shows hypervisor CPU steal (up to
-  ~25% in `top`) at random intervals, so the minimum is the cleanest
-  estimate of true capability; each run additionally waits for a sub-2.0
-  one-minute load average before starting;
+* IDENTICAL JVM config at both levels (48g heap, G1 young-gen cap): only
+  the task-thread count and shuffle-partition count differ;
+* best of N cold runs per level, each waiting for a sub-2.0 one-minute
+  load average before starting;
 * shuffle dirs + index output on tmpfs to remove shared-disk jitter;
 * cold build per level: separate OS process, fresh JVM, no warm caches;
-* shuffle partitions sized to the core count at each level (8 / 32) the way
-  a real cluster submit would set spark.sql.shuffle.partitions;
+* shuffle partitions sized to the core count at each level the way a real
+  cluster submit would set spark.sql.shuffle.partitions;
 * the input parquet is pre-generated once so both levels read identical
   bytes; per-turn text equality and rank-identity vs the oracle are covered
-  by tests/, not re-proven here.
+  by tests/, not re-proven here;
+* ``SCALING_CLUSTER=1`` switches the harness to ``local-cluster[N,8,16g]``
+  — SEPARATE executor JVMs of constant size with real serialized shuffle,
+  the structurally faithful stand-in for adding executors.
 """
     with open(out_md, "w") as f:
         f.write(md)
