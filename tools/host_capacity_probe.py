@@ -63,5 +63,57 @@ def main() -> None:
     )
 
 
+BW_WORK = """
+import numpy as np
+a = np.zeros(64 * 1024 * 1024, dtype=np.int64)  # 512 MB, far beyond LLC
+s = 0
+for _ in range(8):
+    a += 1          # streaming read-modify-write over 512 MB
+    s += int(a[0])
+"""
+
+
+def run_bw(nproc: int) -> float:
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", f"0-{nproc - 1}", sys.executable, "-c", BW_WORK],
+        )
+        for _ in range(nproc)
+    ]
+    for p in procs:
+        p.wait()
+    return nproc / (time.perf_counter() - t0)
+
+
+def main_bw() -> None:
+    """Memory-BANDWIDTH ceiling (--bw): the md5 probe is cache-resident and
+    measures deliverable CPU cycles, but a shuffle/sort/cache-heavy engine
+    streams GBs through DRAM — if the VM's memory controllers saturate
+    below 32 cores' demand, data-proportional stages stop scaling long
+    before the compute ceiling predicts.  Identical fixed streaming work
+    (8 passes of += over a 512 MB array, ~32 GB of read+write traffic per
+    process) as 8 vs 32 concurrent pinned processes."""
+    reps = 2
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    best8 = max(run_bw(8) for _ in range(reps))
+    best32 = max(run_bw(32) for _ in range(reps))
+    eff = (best32 / best8) / 4
+    print(
+        json.dumps(
+            {
+                "bw_tp_8": round(best8, 3),
+                "bw_tp_32": round(best32, 3),
+                "bandwidth_ceiling_efficiency_8_to_32": round(eff, 3),
+                "effective_streaming_cores_at_32": round(best32 / best8 * 8, 1),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--bw" in sys.argv:
+        main_bw()
+    else:
+        main()
