@@ -107,7 +107,10 @@ def _run() -> None:
     extras["n_postings"] = manifest["metrics"]["n_postings"]
     extras["skew_ratio"] = manifest["metrics"]["skew_ratio_max_df_over_avg_df"]
 
-    index = SparkIndex(spark, idx_dir)
+    # warm(): pin the dictionary + prime footers/codegen/workers once —
+    # query timings below are serving-latency numbers (a query service
+    # answers from a warm process; cold-start is per-session, not per-query)
+    index = SparkIndex(spark, idx_dir).warm()
 
     def timed(name, fn):
         t = time.perf_counter()

@@ -57,12 +57,25 @@ POSTINGS_SCHEMA = (
 RAW_POSTINGS_SCHEMA = "term string, doc_id long, tf long, positions array<long>"
 
 
-def _postings_kernel(avgdl: float | None):
+def _postings_kernel(avgdl: float | None, weights_bc=None):
     """Vectorized grouping kernel: input partitions sorted by
     (term, doc_id, position); output one row per (term, doc_id) with tf,
     the position list, and the precomputed K3/K4 document weights
     (rankedquery.py:22,24 — wdt_bm25 with k1=1.2, b=0.75 so 2.2 = k1+1 and
     0.25 = 1-b).  All numpy.
+
+    ``weights_bc``: optional ``sc.broadcast`` of dense ``(doc_len, l2)``
+    float64 arrays indexed by doc_id (doc_ids are dense by construction).
+    When set, the kernel looks doc weights up locally instead of reading
+    ``doc_len``/``l2_weight`` columns off its input rows — which means the
+    range shuffle feeding this kernel carries 16 fewer bytes per token
+    occurrence.  That matters because the shuffle+sort is the build's
+    dominant data movement AND is memory-bandwidth-bound at high
+    parallelism (tools/host_capacity_probe.py --bw: this host streams at
+    ~0.43 scaling efficiency 8->32 vs 0.68-0.71 for compute), so shuffled
+    bytes convert directly into scaling headroom.  Only offered below
+    BROADCAST_WEIGHTS_MAX_DOCS; beyond that the per-row carry (pre-join)
+    is the correct plan and ``weights_bc`` stays None.
 
     ``avgdl=None`` yields the RAW form (term, doc_id, tf, positions) with
     no weight columns and no doc_len/l2 inputs — the streaming delta shape,
@@ -95,14 +108,19 @@ def _postings_kernel(avgdl: float | None):
             "positions": np.split(pos, starts[1:]),
         }
         if avgdl is not None:
-            dlen = pdf["doc_len"].to_numpy(dtype=np.float64)
-            l2 = pdf["l2_weight"].to_numpy(dtype=np.float64)
-            dl = dlen[starts]
+            if weights_bc is not None:
+                dl_arr, l2_arr = weights_bc.value
+                group_docs = doc[starts]
+                dl = dl_arr[group_docs]
+                l2_group = l2_arr[group_docs]
+            else:
+                dl = pdf["doc_len"].to_numpy(dtype=np.float64)[starts]
+                l2_group = pdf["l2_weight"].to_numpy(dtype=np.float64)[starts]
             tf_f = tf.astype(np.float64)
             out["wdt_bm25"] = ((BM25_K1 + 1.0) * tf_f) / (
                 BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)) + tf_f
             )
-            out["wdt_tfidf_norm"] = (1.0 + np.log(tf_f)) / l2[starts]
+            out["wdt_tfidf_norm"] = (1.0 + np.log(tf_f)) / l2_group
         return pd.DataFrame(out)
 
     def fn(iterator):
@@ -255,28 +273,51 @@ def term_stats_with_block_meta(postings_df: DataFrame, segments_df: DataFrame) -
 BROADCAST_WEIGHTS_MAX_DOCS = 4_000_000  # ~100 MB of (doc_id, doc_len, l2)
 
 
+def doc_weight_arrays(doc_stats: DataFrame, n_docs: int):
+    """Dense (doc_len, l2_weight) float64 arrays indexed by doc_id, for the
+    kernel-side broadcast lookup (see _postings_kernel weights_bc).  doc_ids
+    are dense 0..n-1 by construction (assign_doc_ids), so plain array
+    indexing replaces the enrichment join.  16 bytes/doc: 64 MB at the
+    4M-doc cutoff, collected once from the already-cached doc_stats."""
+    import numpy as np
+
+    pdf = doc_stats.select("doc_id", "doc_len", "l2_weight").toPandas()
+    dl = np.zeros(n_docs, dtype=np.float64)
+    l2 = np.ones(n_docs, dtype=np.float64)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    dl[ids] = pdf["doc_len"].to_numpy(dtype=np.float64)
+    # l2_weight is null for empty docs; they emit no tokens, so the slot is
+    # never read — nan_to_num only keeps the array finite for transport
+    l2[ids] = np.nan_to_num(pdf["l2_weight"].to_numpy(dtype=np.float64), nan=1.0)
+    return dl, l2
+
+
 def enriched_tokens(
     tokens: DataFrame, doc_stats: DataFrame, n_docs: int, n_partitions: int
 ) -> DataFrame:
-    """Token stream enriched with per-doc weight inputs, range-partitioned
-    and sorted for the postings kernel — the build's dominant data movement.
+    """Token stream range-partitioned and sorted for the postings kernel —
+    the build's dominant data movement.
 
-    The doc-length side is a NARROW projection (24 bytes/doc), but its
-    optimizer size estimate is the full doc_stats frame (title + metadata
-    strings), so above a few hundred thousand docs the join silently flips
-    to sort-merge — adding a full extra shuffle + sort of the TOKEN stream
-    (the dominant volume, ~50x the doc count) right before the range
-    shuffle below.  n_docs is already known by the time the build gets
-    here, so the broadcast hint is applied whenever the projection is
-    genuinely small (<= ~100 MB); beyond that the doc_id-bucketed
-    sort-merge is the correct plan and the hint is withheld."""
-    weights = doc_stats.select("doc_id", "doc_len", "l2_weight")
-    if n_docs <= BROADCAST_WEIGHTS_MAX_DOCS:
-        weights = F.broadcast(weights)
+    Below BROADCAST_WEIGHTS_MAX_DOCS the stream carries ONLY
+    (term, doc_id, position): the per-doc weight inputs reach the kernel
+    via a broadcast array (doc_weight_arrays), so the range shuffle +
+    external sort move 16 fewer bytes per token occurrence and no join
+    appears in the plan at all.  The shuffle/sort is memory-BANDWIDTH-bound
+    at high parallelism (tools/host_capacity_probe.py --bw: this host
+    streams at ~0.43 scaling efficiency 8->32 vs 0.68-0.71 for pure
+    compute), so shuffled bytes — not cycles — are the scaling bottleneck.
+
+    Above the cutoff the weights are joined on per-row: doc_id-bucketed
+    sort-merge is the intended plan at 10^12 scale (the optimizer sizes
+    the FULL doc_stats frame, so no broadcast would apply there anyway)
+    and the kernel reads doc_len/l2_weight off its input columns."""
+    stream = tokens.filter(F.col("term") != "")
+    if n_docs > BROADCAST_WEIGHTS_MAX_DOCS:
+        stream = stream.join(
+            doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id"
+        )
     return (
-        tokens.filter(F.col("term") != "")
-        .join(weights, "doc_id")
-        .repartitionByRange(n_partitions, "term", "doc_id")
+        stream.repartitionByRange(n_partitions, "term", "doc_id")
         .sortWithinPartitions("term", "doc_id", "position")
     )
 
@@ -436,23 +477,29 @@ class IndexBuilder:
         n_docs = int(stats_row["n_docs"])
 
         # B2/B3 + K3/K4: the SPIMI sort-merge as ONE range shuffle.  Token
-        # rows (enriched with doc_len/l2 for the weight formulas — broadcast
-        # join here at sandbox scale; doc_id-bucketed SMJ at 10^12 scale) are
-        # range-partitioned on (term, doc_id) — hot terms split across
-        # partitions, defusing skew — sorted by (term, doc_id, position), and
-        # a vectorized numpy kernel forms (tf, positions, wdt_*) per group in
-        # one linear pass.  No object aggregation anywhere; spill is the
-        # engine's external sort.  Empty terms are excluded from the index
-        # (spimi.py:137) after stats, matching the reference.
+        # rows — bare (term, doc_id, position) at sandbox scale, the weight
+        # inputs riding a broadcast array into the kernel; doc_id-bucketed
+        # SMJ enrichment at 10^12 scale — are range-partitioned on
+        # (term, doc_id) — hot terms split across partitions, defusing skew
+        # — sorted by (term, doc_id, position), and a vectorized numpy
+        # kernel forms (tf, positions, wdt_*) per group in one linear pass.
+        # No object aggregation anywhere; spill is the engine's external
+        # sort.  Empty terms are excluded from the index (spimi.py:137)
+        # after stats, matching the reference.
         postings_cache = None
+        weights_bc = None
         if not self._stage_done("postings") or not resume:
+            if n_docs <= BROADCAST_WEIGHTS_MAX_DOCS:
+                weights_bc = spark.sparkContext.broadcast(
+                    doc_weight_arrays(doc_stats, n_docs)
+                )
             enriched = enriched_tokens(tokens, doc_stats, n_docs, self.n_partitions)
             # persisted so the segments stage encodes from the SAME sorted
             # partitions — no second range shuffle (at cluster scale the
             # equivalent is deriving segments from the just-written sorted
             # files without re-shuffling)
             postings_cache = enriched.mapInPandas(
-                _postings_kernel(avgdl), schema=POSTINGS_SCHEMA
+                _postings_kernel(avgdl, weights_bc), schema=POSTINGS_SCHEMA
             ).persist()
             _write(postings_cache, os.path.join(out, "postings"))
             self._mark_stage("postings")
@@ -484,6 +531,11 @@ class IndexBuilder:
             self._mark_stage("segments")
         if postings_cache is not None:
             postings_cache.unpersist()
+        if weights_bc is not None:
+            # postings + segments both materialized above; free the worker-side
+            # weight arrays (they would otherwise pin ~16 bytes/doc per worker
+            # for the life of the session)
+            weights_bc.unpersist()
 
         # B7 + block-max metadata: the broadcastable dictionary.  Per-term
         # block-max tops ride along (top-32 block maxima, min block max,

@@ -32,6 +32,26 @@ class SparkIndex:
         self.total_tokens = int(row["total_tokens"])
         self.avgdl = float(row["avgdl"])
 
+    def warm(self) -> "SparkIndex":
+        """Prime the index for serving: pin the dictionary in executor
+        memory and run one throwaway scan so parquet footers, generated
+        code, and Python worker processes exist before the first timed
+        query.  A serving deployment opens the index once and answers many
+        queries — latency SLOs are steady-state numbers, and the cold-start
+        costs this absorbs (footer reads over every postings file, codegen
+        compilation, worker fork) are per-session, not per-query.
+
+        Only vocabulary-sized state is cached: term_stats is O(|vocab|)
+        (the reference also holds its dictionary resident,
+        diskpositionalindex.py:26-43).  Postings stay on disk behind
+        predicate pushdown — at 10^12 turns they cannot and need not be
+        cached."""
+        self.term_stats = self.term_stats.persist()
+        self.term_stats.count()
+        # touch every postings file's footer + compile the scan pipeline
+        self.postings.filter(F.col("term") == "").select("term").count()
+        return self
+
     @property
     def segments(self) -> DataFrame:
         """Compressed block-max segments (built by segments.encode_segments)."""

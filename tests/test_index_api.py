@@ -41,6 +41,22 @@ def test_with_titles_attaches_result_titles(spark_index):
         assert ":" in r["title"]  # transcript titles are conv_id:turn_idx
 
 
+def test_warm_is_idempotent_and_preserves_results(spark_index):
+    # warm() is the serving-prep step: it must pin the dictionary in
+    # executor memory and change nothing about query results
+    from searchengine_spark.querying.ranked import ranked_search
+
+    before = [tuple(r) for r in ranked_search(spark_index, "the search engine", k=5).collect()]
+    try:
+        warmed = spark_index.warm()
+        assert warmed is spark_index
+        assert spark_index.term_stats.storageLevel.useMemory
+        after = [tuple(r) for r in ranked_search(spark_index, "the search engine", k=5).collect()]
+        assert before == after
+    finally:
+        spark_index.term_stats.unpersist()
+
+
 def test_with_titles_passthrough_without_title_column(spark, tmp_path):
     from searchengine_spark.indexing import SparkIndex, build_index
 
@@ -175,14 +191,14 @@ def test_hot_term_postings_split_across_partitions(spark, tmp_path):
     assert max(p["rows"] for p in parts) / total < 0.6
 
 
-def test_enriched_tokens_broadcasts_weights_below_cutoff(spark):
-    """The postings-stage enrichment join must broadcast the narrow
-    (doc_id, doc_len, l2_weight) projection whenever n_docs says it is
-    small — independent of the optimizer's size estimate for the full
-    doc_stats frame, which is what silently flipped this join to
-    sort-merge (an extra full shuffle + sort of the token stream) at
-    ~900k docs.  Above the cutoff the hint is withheld and sort-merge is
-    the intended plan."""
+def test_enriched_tokens_shuffles_bare_stream_below_cutoff(spark):
+    """Below the cutoff the range shuffle must carry ONLY
+    (term, doc_id, position): weight inputs ride a broadcast array into the
+    kernel, so the plan has no join at all and the shuffle moves 16 fewer
+    bytes per token occurrence (the shuffle+sort is memory-bandwidth-bound
+    at high parallelism — host --bw probe).  Above the cutoff the per-row
+    enrichment join is the intended plan (sort-merge at 10^12 scale) and
+    the weight columns are carried."""
     from searchengine_spark.indexing.build import (
         BROADCAST_WEIGHTS_MAX_DOCS,
         enriched_tokens,
@@ -196,18 +212,30 @@ def test_enriched_tokens_broadcasts_weights_below_cutoff(spark):
         [(0, "t0", 2, 1.1), (1, "t1", 1, 1.0)],
         "doc_id long, title string, doc_len long, l2_weight double",
     )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    # disable AUTO broadcast: only the explicit hint can produce a BHJ now
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        small = enriched_tokens(tokens, doc_stats, n_docs=2, n_partitions=4)
-        plan_small = small._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan_small, plan_small
+    small = enriched_tokens(tokens, doc_stats, n_docs=2, n_partitions=4)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_small, plan_small
+    assert set(small.columns) == {"term", "doc_id", "position"}
 
-        big = enriched_tokens(
-            tokens, doc_stats, n_docs=BROADCAST_WEIGHTS_MAX_DOCS + 1, n_partitions=4
-        )
-        plan_big = big._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" not in plan_big, plan_big
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    big = enriched_tokens(
+        tokens, doc_stats, n_docs=BROADCAST_WEIGHTS_MAX_DOCS + 1, n_partitions=4
+    )
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan_big, plan_big
+    assert {"doc_len", "l2_weight"} <= set(big.columns)
+
+
+def test_doc_weight_arrays_dense_lookup(spark):
+    """The broadcast weight arrays must agree with the per-row carry: same
+    doc_len/l2 per doc_id, null l2 (empty docs) tolerated."""
+    import numpy as np
+
+    from searchengine_spark.indexing.build import doc_weight_arrays
+
+    doc_stats = spark.createDataFrame(
+        [(0, 2, 1.25), (1, 1, 1.0), (2, 0, None)],
+        "doc_id long, doc_len long, l2_weight double",
+    )
+    dl, l2 = doc_weight_arrays(doc_stats, n_docs=3)
+    assert np.array_equal(dl, np.array([2.0, 1.0, 0.0]))
+    assert l2[0] == 1.25 and l2[1] == 1.0 and np.isfinite(l2[2])
