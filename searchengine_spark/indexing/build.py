@@ -405,6 +405,11 @@ class IndexBuilder:
         spark = self.spark
         out = self.out_dir
         meta_cols = [c for c in ("title", *META_COLS) if c in docs.columns]
+        # phase labels surface in the Spark UI / REST API so per-stage
+        # metrics (tools/stage_profile.py) attribute cleanly; job
+        # descriptions are thread-local, so the background stats writer
+        # labels its own jobs separately
+        set_desc = spark.sparkContext.setJobDescription
 
         # persisted: docs feeds two consumers (the tokenize type stream and
         # the doc_stats meta projection); when it comes from assign_doc_ids
@@ -449,6 +454,7 @@ class IndexBuilder:
                 .persist()
             )
             doc_stats = stats_cache
+            set_desc("phase:stats — materialize doc/type caches + corpus stats")
             stats_row = corpus_stats_table(stats_cache).collect()[0]
             # the corpus-stats action has now materialized every partition
             # of the enumerated docs cache (and the token type cache), so
@@ -460,6 +466,7 @@ class IndexBuilder:
 
             def write_stats() -> None:
                 try:
+                    set_desc("phase:stats-write (background) — doc_stats + corpus_stats parquet")
                     _write(stats_cache, os.path.join(out, "doc_stats"))
                     _write(
                         corpus_stats_table(stats_cache), os.path.join(out, "corpus_stats")
@@ -490,9 +497,11 @@ class IndexBuilder:
         weights_bc = None
         if not self._stage_done("postings") or not resume:
             if n_docs <= BROADCAST_WEIGHTS_MAX_DOCS:
+                set_desc("phase:postings — collect doc weight arrays")
                 weights_bc = spark.sparkContext.broadcast(
                     doc_weight_arrays(doc_stats, n_docs)
                 )
+            set_desc("phase:postings — range shuffle + kernel + parquet write")
             enriched = enriched_tokens(tokens, doc_stats, n_docs, self.n_partitions)
             # persisted so the segments stage encodes from the SAME sorted
             # partitions — no second range shuffle (at cluster scale the
@@ -521,6 +530,7 @@ class IndexBuilder:
         if not self._stage_done("segments") or not resume:
             from .segments import encode_segments
 
+            set_desc("phase:segments — varbyte block encode + write")
             if postings_cache is not None:
                 seg_input = postings_cache
             else:
@@ -544,6 +554,7 @@ class IndexBuilder:
         # dictionary collect it already pays — zero extra jobs at query time
         # (wand.py metadata mode).
         if not self._stage_done("term_stats") or not resume:
+            set_desc("phase:term_stats — dictionary + block-max meta")
             term_stats = term_stats_with_block_meta(
                 postings_df, spark.read.parquet(os.path.join(out, "segments"))
             )
@@ -554,6 +565,7 @@ class IndexBuilder:
         # n_postings comes from the per-partition lineage (parquet footers)
         # recorded at stage completion — no re-scan of the postings table.
         elapsed = time.time() - t0
+        set_desc("phase:metrics — manifest aggregates")
         # pre-lineage manifests (resumed builds recorded before per-partition
         # lineage existed) lack the "partitions" key — fall back to a count
         lineage = self.manifest["stages"]["postings"].get("partitions")
@@ -601,6 +613,7 @@ class IndexBuilder:
         # release_docid_caches() / release_docid_cache_of().
         if not release_docid_cache_of(docs) and len(_DOCID_CACHES) == 1:
             release_docid_caches()
+        set_desc(None)
         return self.manifest
 
 

@@ -66,7 +66,13 @@ def get_spark(
             "spark.executor.memory",
             executor_memory or os.environ.get("SPARK_EXECUTOR_MEMORY", "16g"),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver-memory + port noise); SPARK_GRAFT_UI=1
+        # turns it on so tools/stage_profile.py can scrape per-stage
+        # metrics from the REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI", "").lower() in ("1", "true", "yes") else "false",
+        )
         # 16 MB splits: transcript text compresses hard, so a 128 MB split
         # holds millions of rows and leaves early (pre-shuffle) stages
         # running on a handful of tasks; finer splits keep scans as wide as
