@@ -29,6 +29,7 @@ artifact + manifest entry already exist.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
@@ -146,6 +147,39 @@ def _postings_kernel(avgdl: float | None, weights_bc=None):
             yield process(carry)
 
     return fn
+
+
+@contextlib.contextmanager
+def pinned_build_conf(spark: SparkSession):
+    """Pin BUILD shuffle config for the duration of a build/compaction and
+    restore the session's previous values after.
+
+    The build's shuffles (token-stream aggregations, the range shuffle) are
+    CPU-heavy relative to their bytes, so AQE's byte-based partition
+    coalescing would squeeze them onto a handful of tasks and serialize the
+    build.  Serving wants the opposite (SparkIndex.warm() turns coalescing
+    ON so tiny per-query reduce stages do not run at build width), and one
+    session may interleave both — streaming ingest plus queries — so each
+    phase pins its own sizing instead of fighting over the session default."""
+    keys = (
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+    )
+    prev = {}
+    for k in keys:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    spark.conf.set(keys[0], "false")
+    try:
+        yield
+    finally:
+        for k in keys:
+            if prev[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev[k])
 
 
 _DOCID_CACHES: list[DataFrame] = []
@@ -397,7 +431,14 @@ class IndexBuilder:
     # -- build --------------------------------------------------------------
     def build(self, docs: DataFrame, resume: bool = False) -> dict:
         """docs: (doc_id:long, text:string [, title, conv_id, turn_idx, role,
-        tool]).  Returns the manifest dict."""
+        tool]).  Returns the manifest dict.  Runs under pinned build shuffle
+        config (see pinned_build_conf) so a session that served queries
+        (SparkIndex.warm flips AQE coalescing on) still builds at full
+        shuffle width."""
+        with pinned_build_conf(self.spark):
+            return self._build(docs, resume=resume)
+
+    def _build(self, docs: DataFrame, resume: bool = False) -> dict:
         t0 = time.time()
         if resume:
             self._load_manifest()

@@ -45,7 +45,24 @@ class SparkIndex:
         (the reference also holds its dictionary resident,
         diskpositionalindex.py:26-43).  Postings stay on disk behind
         predicate pushdown — at 10^12 turns they cannot and need not be
-        cached."""
+        cached.
+
+        warm() also flips the session into SERVING shuffle config: AQE
+        partition coalescing on, parallelismFirst off.  A query's reduce
+        side (groupBy(doc_id) over the few pruned postings of its terms)
+        is tiny by bytes, so without coalescing it runs at the build's
+        shuffle-partition width — pure per-task scheduling overhead that
+        grows with cluster width and dominates warm p95 at small corpus
+        sizes.  Coalescing keeps map-side partial aggregation and shrinks
+        only the reduce stage, sized by AQE from the actual shuffle bytes
+        — exact cost-based sizing per query.  The build needs the opposite
+        (its token-stream shuffles are CPU-heavy per byte, so byte-based
+        coalescing would serialize them); IndexBuilder.build() pins build
+        config for its duration and restores the session's previous values
+        after, so build-then-serve and streaming-ingest-plus-serve sessions
+        each run every phase under the right shuffle sizing."""
+        self.spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         self.term_stats = self.term_stats.persist()
         self.term_stats.count()
         # touch every postings file's footer + compile the scan pipeline

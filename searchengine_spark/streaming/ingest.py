@@ -63,9 +63,17 @@ class StreamingIndexer:
 
     # -- micro-batch sink --------------------------------------------------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """foreachBatch body — also callable directly (tests / backfills)."""
+        """foreachBatch body — also callable directly (tests / backfills).
+        Pinned build shuffle config: an ingest-plus-serve session has AQE
+        coalescing flipped on by SparkIndex.warm(), which must not squeeze
+        the epoch's token shuffle (see pinned_build_conf)."""
+        from ..indexing.build import pinned_build_conf
         from ..text.spark_tokenize import tokenize
 
+        with pinned_build_conf(self.spark):
+            return self._process_batch_inner(batch_df, epoch_id, tokenize)
+
+    def _process_batch_inner(self, batch_df: DataFrame, epoch_id: int, tokenize) -> None:
         m = self._manifest()
         if str(epoch_id) in m["epochs"]:
             return  # retried epoch: already durable (idempotent sink)
@@ -151,7 +159,13 @@ class StreamingIndexer:
         """Merge all deltas into a standard batch index layout (postings with
         finalized weights, block-max segments, term/doc/corpus stats) under
         index_dir.  Reuses the batch IndexBuilder stages from the raw-delta
-        representation."""
+        representation.  Pinned build shuffle config (see pinned_build_conf)."""
+        from ..indexing.build import pinned_build_conf
+
+        with pinned_build_conf(self.spark):
+            return self._compact_inner()
+
+    def _compact_inner(self) -> dict:
         from ..indexing.logical import corpus_stats_table
         from ..indexing.segments import encode_segments
 

@@ -57,6 +57,28 @@ def test_warm_is_idempotent_and_preserves_results(spark_index):
         spark_index.term_stats.unpersist()
 
 
+def test_warm_and_build_pin_their_shuffle_configs(spark, tmp_path, spark_index):
+    # warm() flips the session into serving shuffle config (AQE coalescing
+    # on: tiny per-query reduce stages must not run at build width); a
+    # subsequent build on the SAME session must still run at full shuffle
+    # width (pinned_build_conf) and restore the serving values afterwards —
+    # the ingest-plus-serve session lifecycle.
+    from searchengine_spark.indexing import build_index
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    try:
+        spark_index.warm()
+        assert spark.conf.get(key) == "true"
+
+        docs = spark.createDataFrame([(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string")
+        build_index(spark, docs, str(tmp_path / "conf_pin_index"))
+        # build ran under its own pin and restored the serving conf
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark_index.term_stats.unpersist()
+        spark.conf.set(key, "false")
+
+
 def test_with_titles_passthrough_without_title_column(spark, tmp_path):
     from searchengine_spark.indexing import SparkIndex, build_index
 

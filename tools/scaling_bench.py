@@ -161,15 +161,19 @@ def main() -> None:
         return nproc / (time.perf_counter() - t0)
 
     def host_ceiling() -> dict:
-        """Probe BOTH widths back-to-back: tp32/tp8/4 is the host's own
-        8->32 scaling ceiling AT THIS MOMENT — the denominator against
-        which the adjacent engine rep's efficiency must be judged."""
-        tp8 = host_probe(8)
-        tp32 = host_probe(32)
+        """Probe BOTH of the PROTOCOL'S OWN widths back-to-back:
+        (tp_xn / tp_n) / factor is the host's N->4N scaling ceiling AT THIS
+        MOMENT — the denominator against which the adjacent engine rep's
+        efficiency must be judged.  Probing at the protocol's widths matters:
+        cores 0-7 of this VM scale near-ideally while 8->32 crosses into
+        SMT/oversubscription territory, so an 8->32 ceiling says nothing
+        about a 2->8 run."""
+        tp_n = host_probe(n_level)
+        tp_xn = host_probe(xn_level)
         return {
-            "tp8": round(tp8, 3),
-            "tp32": round(tp32, 3),
-            "ceiling_8_to_32": round((tp32 / tp8) / 4, 3),
+            "tp_n": round(tp_n, 3),
+            "tp_xn": round(tp_xn, 3),
+            "ceiling": round((tp_xn / tp_n) / factor, 3),
         }
 
     # reps are INTERLEAVED across levels (N, 4N, N, 4N, ...): the host's
@@ -234,11 +238,11 @@ def main() -> None:
     r8, r32 = results[n_level], results[xn_level]
     eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / factor
     q_speedup = r8["query_p95_s"] / r32["query_p95_s"] if r32["query_p95_s"] else float("nan")
-    ceilings = [x["host_probe"]["ceiling_8_to_32"] for x in all_runs]
+    ceilings = [x["host_probe"]["ceiling"] for x in all_runs]
     runs_tbl = "\n".join(
         f"| {x['level']} | {x['rep']} | {x['build_s']} | {x['turns_per_sec']} | "
-        f"{x['host_probe']['tp8']} | {x['host_probe']['tp32']} | "
-        f"{x['host_probe']['ceiling_8_to_32']} |"
+        f"{x['host_probe']['tp_n']} | {x['host_probe']['tp_xn']} | "
+        f"{x['host_probe']['ceiling']} |"
         for x in all_runs
     )
 
@@ -257,13 +261,13 @@ weather.  Every rep is listed below; the headline is best-of per level.
 
 ## All reps (interleaved, chronological order within rep)
 
-| level | rep | build_s | turns/s | host tp8 | host tp32 | host ceiling 8→32 |
+| level | rep | build_s | turns/s | host tp@{n_level} | host tp@{xn_level} | host ceiling {n_level}→{xn_level} |
 |---|---|---|---|---|---|---|
 {runs_tbl}
 
-Host 8→32 ceiling during this protocol: min {min(ceilings):.3f} / max {max(ceilings):.3f}
+Host {n_level}→{xn_level} ceiling during this protocol: min {min(ceilings):.3f} / max {max(ceilings):.3f}
 (pure-CPU md5 in pinned plain-Python processes — no Spark, no JVM; the
-hardware never delivers 4x the cycles from 8→32 vCPUs on this VM).
+probe runs at the protocol's own two widths adjacent to every rep).
 
 | metric | local[{n_level}] (N) | local[{xn_level}] ({factor}N) |
 |---|---|---|
