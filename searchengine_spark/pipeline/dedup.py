@@ -385,21 +385,22 @@ def near_dup_embedding(
     seed: int = 42,
 ) -> DataFrame:
     """(vec_a, vec_b, sim_r): LSH-bucketed near-duplicate pairs — candidates
-    are generated by a (table, bucket) equi-join over random-hyperplane
-    signatures (similarity.hyperplane_signatures), then exact-rescored by
-    cosine; only candidates sharing a bucket in >=1 table are ever scored.
+    are the within-bucket pairs of random-hyperplane signature buckets
+    (similarity.hyperplane_signatures), exact-rescored by cosine; only
+    pairs sharing a bucket in >=1 table are ever scored.
 
-    This is the 100 TB shape: no cartesian/BroadcastNestedLoopJoin anywhere
-    (asserted by tools/explain_audit.py) — the pair space is a hash-join on
-    uniformly distributed bucket keys with the rescore fused into the join
-    (embeddings ride the signature rows; n_tables-fold duplication of the
-    embedding column through one shuffle traded against the three extra
-    shuffles a pair-materialize + re-attach plan costs — if embeddings are
-    very wide relative to n_tables, flip that tradeoff).  Per-table recall for a pair at angle theta is
-    (1 - theta/pi)^n_planes, amortized over n_tables to
-    1 - (1 - p)^n_tables; raise n_planes (smaller buckets) as N grows and
-    n_tables to recover recall.  The DuckDB twin inlines the identical LCG
-    hyperplanes, so the gate compares identical candidate sets."""
+    This is the 100 TB shape: no cartesian/BroadcastNestedLoopJoin, no
+    pair-level shuffle, no pair-level Arrow transfer (asserted by
+    tools/explain_audit.py) — ONE shuffle of signature rows into a
+    per-bucket numpy kernel that enumerates and rescores pairs in place
+    (see near_dup_from_signed).  Embeddings ride the signature rows
+    (n_tables-fold duplication through that one shuffle) instead of a
+    pair-materialize + two re-attach joins, which would shuffle the
+    embedding table twice more plus the pair set.  Per-table recall for a
+    pair at angle theta is (1 - theta/pi)^n_planes, amortized over n_tables
+    to 1 - (1 - p)^n_tables; raise n_planes (smaller buckets) as N grows
+    and n_tables to recover recall.  The DuckDB twin inlines the identical
+    LCG hyperplanes, so the gate compares identical candidate sets."""
     from .similarity import hyperplane_signatures
 
     drow = embeddings.select(F.size("embedding").alias("d")).first()
@@ -418,14 +419,27 @@ def near_dup_embedding(
 def near_dup_from_signed(
     signed: DataFrame, n_tables: int, threshold: float, dim: int
 ) -> DataFrame:
-    """Candidate join + exact rescore over an already-signed frame
-    (vec_id, embedding, bucket_0..bucket_{n_tables-1}) — shared by the
+    """Per-bucket pair generation + exact rescore over an already-signed
+    frame (vec_id, embedding, bucket_0..bucket_{n_tables-1}) — shared by the
     in-session path above and the persisted EmbeddingIndex, whose signature
-    pass ran once at build time."""
-    # (t, bucket, vec_id, embedding) rows: the embedding rides along so the
-    # rescore happens INSIDE the bucket self-join — no separate pair
-    # materialization + two re-attach joins (which would shuffle the full
-    # embedding table twice more and the pair set once)
+    pass ran once at build time.
+
+    Shape: ONE shuffle of (t, bucket, vec_id, embedding) rows — n_tables
+    copies of each embedding, ~n_tables * N * (dim*4 + 24) bytes — into a
+    groupBy(t, bucket).applyInPandas kernel that enumerates and rescores the
+    within-bucket pairs in numpy.  The quadratic pair set never crosses the
+    Arrow boundary: round 2 fused the rescore into a bucket self-join, which
+    meant every candidate PAIR row carried both embeddings through the join
+    and into mapInPandas (at sf0.1 / threshold 0.4 that is ~1.0M pairs,
+    ~550 MB of Arrow traffic — LSH at a low threshold prunes little, so the
+    boundary cost was ~brute-force).  Here Arrow carries the GROUP rows in
+    (n_tables * N) and only near-threshold survivors out.
+
+    A group = one bucket of one table; bucket occupancy is the operator's
+    scale contract either way (a giant bucket also blew up the join), and
+    n_planes must grow with N to keep buckets bounded.  Within the kernel the
+    pair blocks are chunked so peak memory is O(chunk * dim), not
+    O(bucket^2 * dim)."""
     sig_rows = signed.select(
         "vec_id",
         "embedding",
@@ -439,59 +453,63 @@ def near_dup_from_signed(
         ).alias("s"),
     ).select("vec_id", "embedding", F.col("s.t").alias("t"), F.col("s.bucket").alias("bucket"))
 
-    # rescore in a vectorized numpy kernel over the bucket-joined candidate
-    # rows.  An inline expanded-sum expression (3 x dim element_at products in
-    # one expression tree) FAILS janino compilation at dim=64 and silently
-    # falls back to interpreted evaluation — ~10x the constant factor and the
-    # slowest gated query in round 2 — so the three dots are computed in
-    # Arrow batches instead.  The fold is a strict left-to-right float64
-    # accumulation over the dimension axis (one vectorized += per dimension
-    # across the whole batch): per pair it performs the IDENTICAL IEEE op
-    # sequence as F.aggregate / DuckDB list_sum, so values stay bit-identical
-    # to the SQL twin; F.round is applied Spark-side so rounding semantics
-    # are unchanged.  numpy does not fuse multiply-add, so no FMA divergence.
-    a = sig_rows.alias("a")
-    b = sig_rows.alias("b")
-    candidates = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
-        )
-    )
+    # The rescore fold is a strict left-to-right float64 accumulation over
+    # the dimension axis (one vectorized += per dimension across the whole
+    # pair block): per pair it performs the IDENTICAL IEEE op sequence as
+    # F.aggregate / DuckDB list_sum, so values stay bit-identical to the SQL
+    # twin (an inline expanded-sum expression fails janino compilation at
+    # dim=64 and runs interpreted — the round-2 regression).  numpy does not
+    # fuse multiply-add, so no FMA divergence.  F.round stays Spark-side;
+    # the kernel only pre-filters at threshold - 1e-4, strictly below the
+    # HALF_UP boundary (round(x,4) >= thr requires x >= thr - 5e-5), so the
+    # Spark-side round+filter sees every survivor it would have seen.
+    pre_cut = threshold - 1e-4
+    chunk = 1 << 16
 
-    def rescore(iterator):
+    def bucket_pairs(pdf):
         import numpy as np
         import pandas as pd
 
-        for pdf in iterator:
-            n = len(pdf)
-            if n == 0:
-                continue
-            A = np.empty((n, dim), dtype=np.float64)
-            B = np.empty((n, dim), dtype=np.float64)
-            for r, (ea, eb) in enumerate(zip(pdf["emb_a"], pdf["emb_b"])):
-                A[r] = np.asarray(ea, dtype=np.float64)  # exact float->double widening
-                B[r] = np.asarray(eb, dtype=np.float64)
-            ab = np.zeros(n, dtype=np.float64)
-            aa = np.zeros(n, dtype=np.float64)
-            bb = np.zeros(n, dtype=np.float64)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.empty((n, dim), dtype=np.float64)
+        for r, e in enumerate(pdf["embedding"].to_numpy()[order]):
+            V[r] = np.asarray(e, dtype=np.float64)  # exact float->double widening
+        ia, ib = np.triu_indices(n, k=1)  # vec_a < vec_b after the sort
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, len(ia), chunk):
+            sl = slice(lo, lo + chunk)
+            A = V[ia[sl]]
+            B = V[ib[sl]]
+            m = A.shape[0]
+            ab = np.zeros(m, dtype=np.float64)
+            aa = np.zeros(m, dtype=np.float64)
+            bb = np.zeros(m, dtype=np.float64)
             for i in range(dim):  # strict left-to-right fold per pair
                 ab += A[:, i] * B[:, i]
                 aa += A[:, i] * A[:, i]
                 bb += B[:, i] * B[:, i]
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"],
-                    "vec_b": pdf["vec_b"],
-                    "sim": ab / (np.sqrt(aa) * np.sqrt(bb)),
-                }
-            )
+            sim = ab / (np.sqrt(aa) * np.sqrt(bb))
+            keep = sim >= pre_cut
+            out_a.append(ids[ia[sl]][keep])
+            out_b.append(ids[ib[sl]][keep])
+            out_s.append(sim[keep])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
 
-    rescored = candidates.mapInPandas(rescore, schema="vec_a long, vec_b long, sim double")
+    rescored = sig_rows.groupBy("t", "bucket").applyInPandas(
+        bucket_pairs, schema="vec_a long, vec_b long, sim double"
+    )
     # a pair colliding in several tables is rescored to the IDENTICAL
     # deterministic value, so the final distinct collapses duplicates after
     # the threshold filter has already shrunk the row set
