@@ -497,13 +497,16 @@ class IndexBuilder:
             doc_stats = stats_cache
             set_desc("phase:stats — materialize doc/type caches + corpus stats")
             stats_row = corpus_stats_table(stats_cache).collect()[0]
-            # the corpus-stats action has now materialized every partition
-            # of the enumerated docs cache (and the token type cache), so
-            # the RANGED corpus cache behind assign_doc_ids is redundant —
-            # releasing it here halves the corpus-text cache footprint for
-            # the postings phase (the memory-heaviest part of the build)
-            # instead of carrying both copies to the end of the build.
-            release_docid_cache_of(docs)
+            # Data-wise the RANGED corpus cache behind assign_doc_ids is
+            # redundant from here on (the corpus-stats action materialized
+            # the enumerated docs + token type caches), but it must NOT be
+            # released mid-build: Dataset.unpersist() makes the CacheManager
+            # re-register every dependent cache entry (docs, types,
+            # stats_cache) and CLEAR their materialized buffers, so the
+            # postings phase silently recomputed all three — measured 27%
+            # slower end-to-end than carrying both text copies (which are
+            # MEMORY_AND_DISK — the second copy costs disk, not heap) to the
+            # single release at the end of the build.
 
             def write_stats() -> None:
                 try:

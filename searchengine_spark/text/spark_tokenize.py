@@ -44,6 +44,19 @@ def _stem_udf(tokens: pd.Series) -> pd.Series:
     return tokens.map(stem)
 
 
+# The UDF is in fact deterministic, but it must be DECLARED nondeterministic:
+# otherwise Catalyst's constraint propagation sees term = _stem_udf(type) in
+# the dictionary projection, infers `_stem_udf(type) != ''` from any
+# downstream `term != ''` filter, and pushes the Python UDF below the join —
+# onto EVERY ROW of the token stream.  Each build action (the range
+# partitioner's sample pass, the shuffle map pass) then paid a full-stream
+# ArrowEvalPython stemming pass (~8x the whole pass cost, observed live in
+# the executed plan), silently defeating the stem-over-the-dictionary
+# design.  Declaring it nondeterministic only disables such rewrites; the
+# stem itself still runs once per distinct type.
+_stem_udf = _stem_udf.asNondeterministic()
+
+
 def tokenize(
     docs: DataFrame,
     text_col: str = "text",
