@@ -81,6 +81,58 @@ def test_tokenize_parity(spark, transcripts_df, oracle_docs):
     assert got == sorted(want)
 
 
+def test_tokenize_kernel_matches_expression(spark):
+    """The Arrow tokenize kernel (re2/pyarrow, the default build path) must
+    emit the exact multiset of (doc_id, position, term) rows as the
+    pure-expression twin — including hyphen-variant positions, retained
+    empty types, Java-\\s strip semantics (\\x0B!), and unicode cleaning."""
+    from searchengine_spark.text.spark_tokenize import tokenize
+
+    fixtures = [
+        (0, "Hello world — the QUICK brown-fox jumps"),
+        (1, ""),
+        (2, "- — \t tabs\tand\tunicode café naïve"),
+        (3, "hello  double  space"),
+        (4, "multi\nline\ntext here"),
+        (5, "lead-ing- -trail --double-- a-b-c"),
+        (6, None),
+        (7, "\x0bvertical\x0btab mixed \x0b"),
+        (8, "quo'tes \"and\" spaces"),
+        (9, "ASCII123 Ünïcödé ☃ emoji-😀-test"),
+    ]
+    docs = spark.createDataFrame(fixtures, "doc_id long, text string")
+    k = sorted(
+        (r["doc_id"], r["position"], r["term"])
+        for r in tokenize(docs, use_kernel=True).collect()
+    )
+    e = sorted(
+        (r["doc_id"], r["position"], r["term"])
+        for r in tokenize(docs, use_kernel=False).collect()
+    )
+    assert k == e
+
+
+def test_stem_udf_stays_on_the_dictionary_side(spark):
+    """Regression: Catalyst constraint propagation once inferred
+    _stem_udf(type) != '' from a downstream term != '' filter and pushed the
+    Python UDF onto EVERY ROW of the token stream (one full-stream
+    ArrowEvalPython pass per build action — the sample and map passes each
+    paid ~8x).  With the UDF declared nondeterministic the executed plan
+    must contain exactly ONE ArrowEvalPython: the stem over the distinct
+    type dictionary."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.text.spark_tokenize import _stem_udf, tokenize
+
+    assert _stem_udf.deterministic is False
+    docs = spark.createDataFrame(
+        [(0, "running runs ran"), (1, "jump jumped")], "doc_id long, text string"
+    )
+    stream = tokenize(docs).filter(F.col("term") != "")
+    plan = stream._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_postings_parity(spark_index, oracle_index):
     got = {
         (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))

@@ -122,6 +122,27 @@ def _audit(stderr_file, orig_fd) -> None:
         )
     )
 
+    # 6b: the stem UDF must stay on the dictionary side of the stem join —
+    # constraint propagation once inferred _stem_udf(type) != '' from the
+    # term != '' filter and pushed a full-stream ArrowEvalPython pass into
+    # every build action (sample + map each paid ~8x)
+    from searchengine_spark.text.spark_tokenize import tokenize
+
+    tk_docs = spark.createDataFrame([(0, "running runs"), (1, "jumped")], "doc_id long, text string")
+    tk_stream = tokenize(tk_docs).filter(F.col("term") != "")
+    p6b = plan_of(tk_stream)
+    sections.append(("Token stream (build input: stem join + filter)", p6b))
+    # count on the raw executed-plan tree: explain("formatted") lists every
+    # node twice (tree line + numbered details section)
+    p6b_tree = tk_stream._jdf.queryExecution().executedPlan().toString()
+    checks.append(
+        (
+            "stem UDF only on the dictionary side",
+            p6b_tree.count("ArrowEvalPython") == 1,
+            f"ArrowEvalPython x{p6b_tree.count('ArrowEvalPython')} (dictionary stem only)",
+        )
+    )
+
     # 7: WAND result is lazy (plan exists pre-collect) and its scoring path
     # contains no forced broadcast of an unbounded candidate set
     from searchengine_spark.querying.wand import ranked_search_wand

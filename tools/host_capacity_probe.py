@@ -44,20 +44,32 @@ def run(nproc: int) -> float:
     return nproc / wall  # quanta per second
 
 
+def _levels() -> tuple[int, int]:
+    """Width pair under test (default 8,32); --levels N,XN probes the same
+    pair the scaling protocol uses — cores 0-7 of this VM behave differently
+    from 8-31, so a ceiling is only meaningful at the protocol's own
+    widths."""
+    if "--levels" in sys.argv:
+        a, b = sys.argv[sys.argv.index("--levels") + 1].split(",")
+        return int(a), int(b)
+    return 8, 32
+
+
 def main() -> None:
     reps = 3
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
-    best8 = max(run(8) for _ in range(reps))
-    best32 = max(run(32) for _ in range(reps))
-    eff = (best32 / best8) / 4
+    n, xn = _levels()
+    best_n = max(run(n) for _ in range(reps))
+    best_xn = max(run(xn) for _ in range(reps))
+    eff = (best_xn / best_n) / (xn / n)
     print(
         json.dumps(
             {
-                "tp_8": round(best8, 3),
-                "tp_32": round(best32, 3),
-                "host_ceiling_efficiency_8_to_32": round(eff, 3),
-                "effective_cores_at_32": round(best32 / best8 * 8, 1),
+                f"tp_{n}": round(best_n, 3),
+                f"tp_{xn}": round(best_xn, 3),
+                f"host_ceiling_efficiency_{n}_to_{xn}": round(eff, 3),
+                f"effective_cores_at_{xn}": round(best_xn / best_n * n, 1),
             }
         )
     )
@@ -97,16 +109,17 @@ def main_bw() -> None:
     reps = 2
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
-    best8 = max(run_bw(8) for _ in range(reps))
-    best32 = max(run_bw(32) for _ in range(reps))
-    eff = (best32 / best8) / 4
+    n, xn = _levels()
+    best_n = max(run_bw(n) for _ in range(reps))
+    best_xn = max(run_bw(xn) for _ in range(reps))
+    eff = (best_xn / best_n) / (xn / n)
     print(
         json.dumps(
             {
-                "bw_tp_8": round(best8, 3),
-                "bw_tp_32": round(best32, 3),
-                "bandwidth_ceiling_efficiency_8_to_32": round(eff, 3),
-                "effective_streaming_cores_at_32": round(best32 / best8 * 8, 1),
+                f"bw_tp_{n}": round(best_n, 3),
+                f"bw_tp_{xn}": round(best_xn, 3),
+                f"bandwidth_ceiling_efficiency_{n}_to_{xn}": round(eff, 3),
+                f"effective_streaming_cores_at_{xn}": round(best_xn / best_n * n, 1),
             }
         )
     )
