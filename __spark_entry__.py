@@ -235,8 +235,9 @@ def q_near_dup_embedding(spark, sf_dir):
     # "near-dup" boundary for the contract corpus is 0.4 — non-vacuous at every
     # SF.  LSH-bucketed candidates + exact rescore; the oracle twin inlines
     # the identical hyperplanes so the candidate sets match exactly.
+    # dim=64 pinned exactly like the oracle twin (skips the width-probe job)
     return near_dup_embedding(
-        _embeddings(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=8, seed=42
+        _embeddings(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=8, seed=42, dim=64
     )
 
 

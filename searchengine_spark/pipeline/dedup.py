@@ -383,6 +383,7 @@ def near_dup_embedding(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, sim_r): LSH-bucketed near-duplicate pairs — candidates
     are the within-bucket pairs of random-hyperplane signature buckets
@@ -403,12 +404,13 @@ def near_dup_embedding(
     LCG hyperplanes, so the gate compares identical candidate sets."""
     from .similarity import hyperplane_signatures
 
-    drow = embeddings.select(F.size("embedding").alias("d")).first()
-    if drow is None:  # empty input: empty pair set, stable schema
-        return embeddings.sparkSession.createDataFrame(
-            [], "vec_a long, vec_b long, sim_r double"
-        )
-    dim = int(drow["d"])
+    if dim is None:  # pass dim when known to skip this probing job
+        drow = embeddings.select(F.size("embedding").alias("d")).first()
+        if drow is None:  # empty input: empty pair set, stable schema
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, sim_r double"
+            )
+        dim = int(drow["d"])
 
     signed = hyperplane_signatures(
         embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim

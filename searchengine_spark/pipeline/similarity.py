@@ -206,7 +206,9 @@ def _lsh_topk_from_signed(signed: DataFrame, n_tables: int, query_vec_id: int, k
         eq = F.col(f"bucket_{t}") == int(qrow[f"bucket_{t}"])
         cond = eq if cond is None else cond | eq
     candidates = signed.filter(cond).select("vec_id", "embedding")
-    return cosine_topk(candidates, query_vec_id, k=k)
+    # qrow already carries the embedding: pass it through so cosine_topk
+    # skips its own point-lookup job (one scan instead of two)
+    return cosine_topk(candidates, query_vec_id, k=k, qvec=list(qrow["embedding"]))
 
 
 def lsh_cosine_topk(

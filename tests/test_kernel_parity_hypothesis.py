@@ -46,6 +46,21 @@ def test_minhash_kernel_parity(spark, xs):
 
 @settings(**COMMON)
 @given(xs=texts)
+def test_tokenize_kernel_parity(spark, xs):
+    """The pyarrow/re2 tokenize kernel (default build path) must emit the
+    exact (doc_id, position, term) multiset as the expression twin on
+    arbitrary text — positions shared across hyphen variants, empty types
+    retained, Java-\\s strip semantics, non-ASCII deletion."""
+    from searchengine_spark.text.spark_tokenize import tokenize
+
+    docs = _docs(spark, xs)
+    a = sorted(tuple(r) for r in tokenize(docs, use_kernel=True).collect())
+    b = sorted(tuple(r) for r in tokenize(docs, use_kernel=False).collect())
+    assert a == b
+
+
+@settings(**COMMON)
+@given(xs=texts)
 def test_simhash_kernel_parity(spark, xs):
     from searchengine_spark.pipeline import simhash, simhash_kernel
 

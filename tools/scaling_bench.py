@@ -160,21 +160,75 @@ def main() -> None:
             p.wait()
         return nproc / (time.perf_counter() - t0)
 
+    BW_WORK = (
+        "import numpy as np\n"
+        "a = np.zeros(64 * 1024 * 1024, dtype=np.int64)\n"  # 512 MB >> LLC
+        "s = 0\n"
+        "for _ in range(4):\n"
+        "    a += 1\n"
+        "    s += int(a[0])\n"
+    )
+
+    def bw_probe(nproc: int) -> float:
+        """Streaming memory-bandwidth sample at width nproc (numpy += over a
+        512 MB array per process).  The md5 probe is cache-resident and sees
+        only CPU steal; a shuffle/sort/cache engine streams GBs through DRAM,
+        and this host's WORST degradation mode (observed live: identical
+        engine reps 2.4x apart while the md5 probe moved <20%) is bandwidth
+        starvation the CPU probe cannot detect."""
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen(["taskset", "-c", f"0-{nproc - 1}", sys.executable, "-c", BW_WORK])
+            for _ in range(nproc)
+        ]
+        for p in procs:
+            p.wait()
+        return nproc / (time.perf_counter() - t0)
+
     def host_ceiling() -> dict:
-        """Probe BOTH of the PROTOCOL'S OWN widths back-to-back:
-        (tp_xn / tp_n) / factor is the host's N->4N scaling ceiling AT THIS
-        MOMENT — the denominator against which the adjacent engine rep's
-        efficiency must be judged.  Probing at the protocol's widths matters:
-        cores 0-7 of this VM scale near-ideally while 8->32 crosses into
-        SMT/oversubscription territory, so an 8->32 ceiling says nothing
-        about a 2->8 run."""
+        """Probe BOTH of the PROTOCOL'S OWN widths back-to-back, in BOTH
+        modes (CPU + memory bandwidth): (tp_xn / tp_n) / factor is the
+        host's N->4N scaling ceiling AT THIS MOMENT — the denominator
+        against which the adjacent engine rep's efficiency must be judged.
+        Probing at the protocol's widths matters: cores 0-7 of this VM
+        scale near-ideally while 8->32 crosses into SMT/oversubscription
+        territory, so an 8->32 ceiling says nothing about a 2->8 run."""
         tp_n = host_probe(n_level)
         tp_xn = host_probe(xn_level)
         return {
             "tp_n": round(tp_n, 3),
             "tp_xn": round(tp_xn, 3),
             "ceiling": round((tp_xn / tp_n) / factor, 3),
+            "bw_n": round(bw_probe(n_level), 3),
+            "bw_xn": round(bw_probe(xn_level), 3),
         }
+
+    # Capacity gate: only start an engine rep when the host is actually
+    # delivering.  Thresholds are absolute probe floors calibrated from
+    # good windows on this VM (cpu tp_8 swings 2.98-4.32, bw_8 ~4.5+);
+    # env-overridable, 0 disables.  On timeout the rep proceeds flagged
+    # `degraded` so a stuck-bad host still yields (marked) data.
+    gate_tp = float(os.environ.get("SCALING_GATE_TPXN", "0"))
+    gate_bw = float(os.environ.get("SCALING_GATE_BWXN", "0"))
+    gate_max_s = int(os.environ.get("SCALING_GATE_MAX_S", "1800"))
+
+    def wait_capacity() -> dict:
+        waited = 0
+        while True:
+            probe = host_ceiling()
+            ok = probe["tp_xn"] >= gate_tp and probe["bw_xn"] >= gate_bw
+            if ok or waited >= gate_max_s:
+                probe["degraded"] = not ok
+                probe["gate_wait_s"] = waited
+                return probe
+            print(
+                f"  [gate] host below floor (tp_{xn_level}={probe['tp_xn']} "
+                f"< {gate_tp} or bw_{xn_level}={probe['bw_xn']} < {gate_bw}); "
+                f"waiting ({waited}s)...",
+                flush=True,
+            )
+            time.sleep(90)
+            waited += 90
 
     # reps are INTERLEAVED across levels (N, 4N, N, 4N, ...): the host's
     # deliverable capacity drifts over tens of minutes, and running all N
@@ -189,7 +243,7 @@ def main() -> None:
             outdir = f"/dev/shm/scaling_index_{cpus}"
             shutil.rmtree(outdir, ignore_errors=True)
             wait_quiet()
-            probe = host_ceiling()
+            probe = wait_capacity()
             print(f"=== building at local[{cpus}] rep {rep} (cold process; host probe {probe}) ===", flush=True)
             # taskset confines the WHOLE process tree (JVM task threads, GC,
             # and Python UDF workers) to exactly `cpus` hardware threads —
@@ -208,8 +262,9 @@ def main() -> None:
             # ample for both levels' live set; the G1 young-gen cap keeps
             # a single evacuation pause bounded when the hypervisor steals
             # cycles from GC threads (observed: 9-16 s young pauses with
-            # an uncapped young gen under steal).
-            env["SPARK_DRIVER_MEMORY"] = "48g"
+            # an uncapped young gen under steal).  SCALING_HEAP overrides
+            # (still identical at both levels).
+            env["SPARK_DRIVER_MEMORY"] = os.environ.get("SCALING_HEAP", "48g")
             env["JAVA_TOOL_OPTIONS"] = (
                 "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=25"
             )
@@ -242,7 +297,9 @@ def main() -> None:
     runs_tbl = "\n".join(
         f"| {x['level']} | {x['rep']} | {x['build_s']} | {x['turns_per_sec']} | "
         f"{x['host_probe']['tp_n']} | {x['host_probe']['tp_xn']} | "
-        f"{x['host_probe']['ceiling']} |"
+        f"{x['host_probe']['ceiling']} | {x['host_probe'].get('bw_n', '—')} | "
+        f"{x['host_probe'].get('bw_xn', '—')} |"
+        f"{' DEGRADED |' if x['host_probe'].get('degraded') else ''}"
         for x in all_runs
     )
 
@@ -261,13 +318,16 @@ weather.  Every rep is listed below; the headline is best-of per level.
 
 ## All reps (interleaved, chronological order within rep)
 
-| level | rep | build_s | turns/s | host tp@{n_level} | host tp@{xn_level} | host ceiling {n_level}→{xn_level} |
-|---|---|---|---|---|---|---|
+| level | rep | build_s | turns/s | host tp@{n_level} | host tp@{xn_level} | host ceiling {n_level}→{xn_level} | bw@{n_level} | bw@{xn_level} |
+|---|---|---|---|---|---|---|---|---|
 {runs_tbl}
 
 Host {n_level}→{xn_level} ceiling during this protocol: min {min(ceilings):.3f} / max {max(ceilings):.3f}
 (pure-CPU md5 in pinned plain-Python processes — no Spark, no JVM; the
-probe runs at the protocol's own two widths adjacent to every rep).
+probe runs at the protocol's own two widths adjacent to every rep, plus a
+streaming memory-bandwidth sample `bw@w` — this host's worst degradation
+mode is DRAM-bandwidth starvation the CPU probe cannot see; reps started
+below the capacity-gate floors are marked DEGRADED).
 
 | metric | local[{n_level}] (N) | local[{xn_level}] ({factor}N) |
 |---|---|---|
