@@ -278,6 +278,8 @@ def assign_doc_ids(
 
     out = ranged.mapInPandas(enumerate_partition, schema=out_schema)
     out._docid_cache = ranged  # scoped-release handle (release_docid_cache_of)
+    out._n_docs = acc  # corpus size, already paid for by the counting pass —
+    # lets the builder size its shuffles by data before any build action runs
     return out
 
 
@@ -366,6 +368,7 @@ def prepare_transcripts(df: DataFrame) -> DataFrame:
     docs = assign_doc_ids(df)
     out = docs.withColumn("title", F.concat_ws(":", "conv_id", "turn_idx"))
     out._docid_cache = docs._docid_cache
+    out._n_docs = docs._n_docs
     return out
 
 
@@ -438,9 +441,30 @@ class IndexBuilder:
         tool]).  Returns the manifest dict.  Runs under pinned build shuffle
         config (see pinned_build_conf) so a session that served queries
         (SparkIndex.warm flips AQE coalescing on) still builds at full
-        shuffle width."""
-        with pinned_build_conf(self.spark):
-            return self._build(docs, resume=resume)
+        shuffle width.
+
+        EVERY build shuffle — the stats-phase (term, doc_id) aggregation as
+        much as the postings range shuffle — is sized by DATA with the
+        session width as floor: a reduce partition is a sorted/hash-agg
+        working set, and core-count-sized partitions grow with the corpus
+        until they outrun the memory hierarchy (measured: 1.8M turns at 8
+        tasks built in 675 s with the stats shuffle at 8 partitions vs
+        280 s with every shuffle at ~31 — the postings shuffle alone being
+        data-sized recovered less than half the loss).  The corpus size is
+        free at this point: assign_doc_ids attaches its counting-pass total
+        as ``_n_docs``."""
+        n_docs_hint = getattr(docs, "_n_docs", None)
+        sp_build = self.n_partitions
+        if n_docs_hint:
+            sp_build = max(sp_build, -(-int(n_docs_hint) // DOCS_PER_POSTINGS_PARTITION))
+        prev_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(sp_build))
+        self._sp_build = sp_build
+        try:
+            with pinned_build_conf(self.spark):
+                return self._build(docs, resume=resume)
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     def _build(self, docs: DataFrame, resume: bool = False) -> dict:
         t0 = time.time()
@@ -541,17 +565,13 @@ class IndexBuilder:
         # No object aggregation anywhere; spill is the engine's external
         # sort.  Empty terms are excluded from the index (spimi.py:137)
         # after stats, matching the reference.
-        # Size the postings range shuffle by DATA, flooring at the session
-        # width: a reduce partition is a sorted ~60k-doc (~2M token row)
-        # working set streamed through the external sort, the Arrow kernel
-        # and the parquet writer.  Core-count-sized partitions stop scaling
-        # once per-partition volume outgrows the memory hierarchy — measured
-        # on this host: 1.8M turns at 8 tasks x 8 partitions built in 594 s,
-        # the SAME build at 8 tasks x 32 partitions in 280 s (2.1x), linear
-        # again vs the 900k-turn run.  A real cluster submit runs hundreds
-        # of reduce partitions regardless of executor count for exactly
-        # this reason.
-        postings_partitions = max(self.n_partitions, -(-n_docs // DOCS_PER_POSTINGS_PARTITION))
+        # Postings range-shuffle width: the data-aware build width (see
+        # build()), re-maxed against the EXACT n_docs in case the builder
+        # was invoked without the assign_doc_ids hint (file corpora, resume).
+        postings_partitions = max(
+            getattr(self, "_sp_build", self.n_partitions),
+            -(-n_docs // DOCS_PER_POSTINGS_PARTITION),
+        )
         postings_cache = None
         weights_bc = None
         if not self._stage_done("postings") or not resume:
