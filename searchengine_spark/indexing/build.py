@@ -350,7 +350,14 @@ def enriched_tokens(
     Above the cutoff the weights are joined on per-row: doc_id-bucketed
     sort-merge is the intended plan at 10^12 scale (the optimizer sizes
     the FULL doc_stats frame, so no broadcast would apply there anyway)
-    and the kernel reads doc_len/l2_weight off its input columns."""
+    and the kernel reads doc_len/l2_weight off its input columns.
+
+    Next bytes-lever at 10^12 turns (not yet needed at sandbox scale):
+    dictionary-encode ``term`` to an int id before this shuffle (the stem
+    dictionary the build already broadcasts is the natural id space) so the
+    range shuffle moves 16-byte rows instead of repeated strings —
+    shuffle-heavy stages on wide executors are DRAM-bandwidth-bound
+    (BENCH.md), so bytes, not cycles, are the scaling currency."""
     stream = tokens.filter(F.col("term") != "")
     if n_docs > BROADCAST_WEIGHTS_MAX_DOCS:
         stream = stream.join(
