@@ -53,8 +53,9 @@ def main() -> None:
     )
     orig_fd = os.dup(2)
     os.dup2(stderr_file.fileno(), 2)
+    result: dict | None = None
     try:
-        _run()
+        result = _run()
     finally:
         sys.stderr.flush()
         os.dup2(orig_fd, 2)
@@ -63,6 +64,10 @@ def main() -> None:
         captured = stderr_file.read().decode(errors="replace")
         stderr_file.close()
         os.unlink(stderr_file.name)
+        # Replay the captured stderr FIRST, then emit the result JSON as the
+        # very last write with an explicit flush: round-3's bench sample was
+        # lost because block-buffered stdout flushed the JSON mid-replay in a
+        # merged stream (VERDICT r3 finding #1).
         sys.stderr.write(captured)
         sys.stderr.flush()
     n_codegen_errors = captured.count("ERROR CodeGenerator")
@@ -72,9 +77,16 @@ def main() -> None:
             "driver stderr — an expression fell back to interpreted evaluation\n"
         )
         sys.exit(1)
+    if result is not None:
+        line = json.dumps(result)
+        # durable fallback: the driver can recover the sample from disk even
+        # if the stdout stream gets mangled
+        with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
+            fh.write(line + "\n")
+        print(line, flush=True)
 
 
-def _run() -> None:
+def _run() -> dict:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
@@ -198,9 +210,9 @@ def _run() -> None:
         "sf": SF,
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
     }
-    print(json.dumps(out))
     shutil.rmtree(idx_dir, ignore_errors=True)
     spark.stop()
+    return out
 
 
 if __name__ == "__main__":

@@ -161,10 +161,7 @@ def pinned_build_conf(spark: SparkSession):
     ON so tiny per-query reduce stages do not run at build width), and one
     session may interleave both — streaming ingest plus queries — so each
     phase pins its own sizing instead of fighting over the session default."""
-    keys = (
-        "spark.sql.adaptive.coalescePartitions.enabled",
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-    )
+    keys = ("spark.sql.adaptive.coalescePartitions.enabled",)
     prev = {}
     for k in keys:
         try:
@@ -318,13 +315,22 @@ def doc_weight_arrays(doc_stats: DataFrame, n_docs: int):
     kernel-side broadcast lookup (see _postings_kernel weights_bc).  doc_ids
     are dense 0..n-1 by construction (assign_doc_ids), so plain array
     indexing replaces the enrichment join.  16 bytes/doc: 64 MB at the
-    4M-doc cutoff, collected once from the already-cached doc_stats."""
+    4M-doc cutoff, collected once from the already-cached doc_stats.
+
+    Returns ``None`` when the density contract does not hold (ids outside
+    [0, n_docs) — e.g. a filtered/sparse-id corpus fed straight to
+    IndexBuilder.build without re-running assign_doc_ids): the caller then
+    falls back to the per-row enrichment join, which is id-agnostic.
+    Without this guard a negative id would silently index from the array
+    end and produce wrong BM25/tf-idf weights."""
     import numpy as np
 
     pdf = doc_stats.select("doc_id", "doc_len", "l2_weight").toPandas()
     dl = np.zeros(n_docs, dtype=np.float64)
     l2 = np.ones(n_docs, dtype=np.float64)
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    if len(ids) and (ids.min() < 0 or ids.max() >= n_docs):
+        return None
     dl[ids] = pdf["doc_len"].to_numpy(dtype=np.float64)
     # l2_weight is null for empty docs; they emit no tokens, so the slot is
     # never read — nan_to_num only keeps the array finite for transport
@@ -333,7 +339,11 @@ def doc_weight_arrays(doc_stats: DataFrame, n_docs: int):
 
 
 def enriched_tokens(
-    tokens: DataFrame, doc_stats: DataFrame, n_docs: int, n_partitions: int
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    n_partitions: int,
+    carry_weights: bool | None = None,
 ) -> DataFrame:
     """Token stream range-partitioned and sorted for the postings kernel —
     the build's dominant data movement.
@@ -357,9 +367,15 @@ def enriched_tokens(
     dictionary the build already broadcasts is the natural id space) so the
     range shuffle moves 16-byte rows instead of repeated strings —
     shuffle-heavy stages on wide executors are DRAM-bandwidth-bound
-    (BENCH.md), so bytes, not cycles, are the scaling currency."""
+    (BENCH.md), so bytes, not cycles, are the scaling currency.
+
+    ``carry_weights`` overrides the size-based default: True forces the
+    per-row join (used when the broadcast-array path declined — sparse
+    doc_ids), False forces the bare stream."""
+    if carry_weights is None:
+        carry_weights = n_docs > BROADCAST_WEIGHTS_MAX_DOCS
     stream = tokens.filter(F.col("term") != "")
-    if n_docs > BROADCAST_WEIGHTS_MAX_DOCS:
+    if carry_weights:
         stream = stream.join(
             doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id"
         )
@@ -522,7 +538,12 @@ class IndexBuilder:
         stats_cache = None
         writer: threading.Thread | None = None
         writer_err: list[BaseException] = []
-        if not self._stage_done("doc_stats") or not resume:
+        # resume gate requires BOTH stats artifacts: they are written/marked
+        # together now, but a manifest from a build that crashed between the
+        # two writes could have doc_stats done and corpus_stats missing —
+        # recompute the whole stats phase rather than fail the read-back
+        stats_done = self._stage_done("doc_stats") and self._stage_done("corpus_stats")
+        if not stats_done or not resume:
             stats_cache = (
                 docs.select("doc_id", *meta_cols)
                 .join(doc_stats_table(tf_table), "doc_id", "left")
@@ -584,11 +605,17 @@ class IndexBuilder:
         if not self._stage_done("postings") or not resume:
             if n_docs <= BROADCAST_WEIGHTS_MAX_DOCS:
                 set_desc("phase:postings — collect doc weight arrays")
-                weights_bc = spark.sparkContext.broadcast(
-                    doc_weight_arrays(doc_stats, n_docs)
-                )
+                arrays = doc_weight_arrays(doc_stats, n_docs)
+                if arrays is not None:
+                    weights_bc = spark.sparkContext.broadcast(arrays)
             set_desc("phase:postings — range shuffle + kernel + parquet write")
-            enriched = enriched_tokens(tokens, doc_stats, n_docs, postings_partitions)
+            enriched = enriched_tokens(
+                tokens,
+                doc_stats,
+                n_docs,
+                postings_partitions,
+                carry_weights=weights_bc is None,
+            )
             # persisted so the segments stage encodes from the SAME sorted
             # partitions — no second range shuffle (at cluster scale the
             # equivalent is deriving segments from the just-written sorted

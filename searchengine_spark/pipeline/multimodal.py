@@ -137,7 +137,7 @@ def decode_media(payload: bytes) -> dict | None:
         while off + 8 <= len(raw):
             cid = raw[off : off + 4]
             size = struct.unpack("<I", raw[off + 4 : off + 8])[0]
-            if cid == b"fmt " and size >= 16:
+            if cid == b"fmt " and size >= 16 and off + 24 <= len(raw):
                 _, channels, sample_rate, _, block_align, _ = struct.unpack(
                     "<HHIIHH", raw[off + 8 : off + 24]
                 )
@@ -203,7 +203,14 @@ def decode_meta(multimodal: DataFrame) -> DataFrame:
             rows = {k: [] for k in ("doc_id", "format", "width", "height", "sample_rate", "n_frames")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                meta = decode_media(raw)
+                try:
+                    meta = decode_media(raw)
+                except ValueError:
+                    # a payload that merely STARTS like a recognized container
+                    # (e.g. transcript text beginning 'RIFF....WAVE') is not
+                    # one — treat as unrecognized in the bulk path; the loud
+                    # raise stays in the standalone decode_media API
+                    meta = None
                 if meta is None:
                     n = len(raw)
                     meta = {

@@ -73,6 +73,9 @@ def get_spark(
             "spark.ui.enabled",
             "true" if os.environ.get("SPARK_GRAFT_UI", "").lower() in ("1", "true", "yes") else "false",
         )
+        # progress bars write \r-heavy noise to stderr; with bench.py's fd-2
+        # capture the megabytes of bars drowned the result JSON in round 3
+        .config("spark.ui.showConsoleProgress", "false")
         # 16 MB splits: transcript text compresses hard, so a 128 MB split
         # holds millions of rows and leaves early (pre-shuffle) stages
         # running on a handful of tasks; finer splits keep scans as wide as
