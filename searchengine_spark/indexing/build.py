@@ -58,12 +58,22 @@ POSTINGS_SCHEMA = (
 RAW_POSTINGS_SCHEMA = "term string, doc_id long, tf long, positions array<long>"
 
 
-def _postings_kernel(avgdl: float | None, weights_bc=None):
+def _postings_kernel(avgdl: float | None, weights_bc=None, id2term_bc=None):
     """Vectorized grouping kernel: input partitions sorted by
     (term, doc_id, position); output one row per (term, doc_id) with tf,
     the position list, and the precomputed K3/K4 document weights
     (rankedquery.py:22,24 — wdt_bm25 with k1=1.2, b=0.75 so 2.2 = k1+1 and
     0.25 = 1-b).  All numpy.
+
+    ``id2term_bc``: optional ``sc.broadcast`` of a numpy object array mapping
+    dense term_ids to term strings (dictionary-encoded build path).  When
+    set, the input carries ``term_id:int32`` instead of ``term:string`` —
+    the range shuffle + external sort then move fixed 8-byte int slots
+    instead of variable-length strings (and the group-boundary comparison
+    below is a vectorized int compare instead of per-element PyUnicode
+    richcompare).  term_ids are assigned in sorted-term order, so sorting
+    by term_id IS sorting by term and every downstream layout property
+    (parquet min/max pruning, segment block order) is preserved.
 
     ``weights_bc``: optional ``sc.broadcast`` of dense ``(doc_len, l2)``
     float64 arrays indexed by doc_id (doc_ids are dense by construction).
@@ -89,11 +99,16 @@ def _postings_kernel(avgdl: float | None, weights_bc=None):
     concat would OOM on large or skewed partitions at 10^12-posting
     scale)."""
 
+    key_col = "term" if id2term_bc is None else "term_id"
+
     def process(pdf):
         import numpy as np
         import pandas as pd
 
-        term = pdf["term"].to_numpy()
+        if id2term_bc is None:
+            term = pdf["term"].to_numpy()
+        else:
+            term = pdf["term_id"].to_numpy(dtype=np.int32)
         doc = pdf["doc_id"].to_numpy(dtype=np.int64)
         pos = pdf["position"].to_numpy(dtype=np.int64)
         n = len(pdf)
@@ -103,7 +118,7 @@ def _postings_kernel(avgdl: float | None, weights_bc=None):
         starts = np.flatnonzero(change)
         tf = np.diff(np.append(starts, n)).astype(np.int64)
         out = {
-            "term": term[starts],
+            "term": term[starts] if id2term_bc is None else id2term_bc.value[term[starts]],
             "doc_id": doc[starts],
             "tf": tf,
             "positions": np.split(pos, starts[1:]),
@@ -136,9 +151,9 @@ def _postings_kernel(avgdl: float | None, weights_bc=None):
                 carry = None
             # the last (term, doc_id) group may continue in the next batch:
             # hold it back
-            last_term = pdf["term"].iloc[-1]
+            last_term = pdf[key_col].iloc[-1]
             last_doc = pdf["doc_id"].iloc[-1]
-            tail_mask = (pdf["term"] == last_term) & (pdf["doc_id"] == last_doc)
+            tail_mask = (pdf[key_col] == last_term) & (pdf["doc_id"] == last_doc)
             split_at = len(pdf) - int(tail_mask.iloc[::-1].cummin().sum())
             carry = pdf.iloc[split_at:].reset_index(drop=True)
             if split_at:
@@ -301,6 +316,255 @@ def term_stats_with_block_meta(postings_df: DataFrame, segments_df: DataFrame) -
         )
     )
     return term_stats_table(postings_df).join(seg_meta, "term", "left")
+
+
+# --- dictionary-encoded build path -------------------------------------------
+# The build's dominant data movement is the (term, doc_id, position) range
+# shuffle + external sort, and shuffle-heavy stages on wide executors are
+# DRAM-bandwidth-bound (BENCH.md: this host streams at ~0.43 scaling
+# efficiency 8->32 vs ~0.7 for compute).  Below VOCAB_ENCODE_MAX distinct
+# types, the build therefore collects the type vocabulary ONCE, stems it
+# driver-side (porter2 over the vocab, O(|vocab|) like the UDF path), assigns
+# dense int32 term_ids in SORTED-TERM order, and shuffles
+# (term_id:int, doc_id:long, position:int) rows — fixed 8-byte sort slots
+# instead of variable-length strings, int sort-key comparisons instead of
+# string prefix comparisons, and NO stem-dictionary subquery (distinct +
+# Python UDF + broadcast exchange) re-executed per downstream action.
+# Because ids follow sorted-term order, range-partitioning by term_id is
+# range-partitioning by term: parquet min/max pruning and segment block
+# order are unchanged.  Above the cutoff (or above BROADCAST_WEIGHTS_MAX_DOCS)
+# the string-shuffle path below remains the plan — at 10^12-turn scale the
+# dictionary itself is built distributively (sorted ids via a vocab-sized
+# shuffle) and doc weights arrive by bucketed join, which is exactly what
+# the fallback path expresses.
+VOCAB_ENCODE_MAX = 1_500_000
+
+DOC_STATS_SMALL_SCHEMA = "doc_id long, doc_len long, l2_weight double"
+
+
+def _murmur3_hash_int(value: int, seed: int = 42) -> int:
+    """Spark-compatible Murmur3_x86_32.hashInt (the hash behind
+    HashPartitioning / F.hash for IntegerType, seed 42) — public MurmurHash3
+    algorithm (Austin Appleby, public domain).  Verified against F.hash in
+    tests/test_encoded_build.py so a Spark-side change would fail loudly."""
+    M = 0xFFFFFFFF
+    k1 = (value * 0xCC9E2D51) & M
+    k1 = ((k1 << 15) | (k1 >> 17)) & M
+    k1 = (k1 * 0x1B873593) & M
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & M
+    h1 = (h1 * 5 + 0xE6546B64) & M
+    h1 ^= 4  # len in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    # to signed int32, then Spark's Pmod(hash, P)
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _invert_partition_hash(n_partitions: int):
+    """For each target partition p, find an int32 value v with
+    pmod(murmur3(v), P) == p.  Routing rows through these representative
+    values makes ``repartition(P, "_route")`` an EXACT driver-planned
+    partitioner — no range-sampling pass, no hash-collision imbalance."""
+    import numpy as np
+
+    vmap = np.full(n_partitions, -1, dtype=np.int32)
+    found = 0
+    v = 0
+    while found < n_partitions:
+        p = _murmur3_hash_int(v) % n_partitions
+        if vmap[p] < 0:
+            vmap[p] = v
+            found += 1
+        v += 1
+    return vmap
+
+
+def _plan_term_routes(term_tokens, target_tokens: int):
+    """Greedy driver-side partition plan over the term dictionary, in sorted
+    term_id order (so every partition holds a CONTIGUOUS term range and
+    parquet min/max pruning by term survives).  A term bigger than the
+    target gets ceil(c/target) dedicated partitions and its postings stripe
+    across them by doc_id % k — the explicit skew defusal the range
+    partitioner approximated by sampling.  Returns (base_part int32[V],
+    ksplit int32[V], n_partitions).
+
+    This replaces repartitionByRange's reservoir-sampling job with exact
+    knowledge the vocab collect already paid for: one fewer full pass over
+    the token stream per build, and partitions balanced by true token
+    counts rather than a sample."""
+    import numpy as np
+
+    V = len(term_tokens)
+    base = np.zeros(V, dtype=np.int32)
+    ksplit = np.ones(V, dtype=np.int32)
+    part = 0
+    load = 0
+    for t in range(V):
+        c = int(term_tokens[t])
+        if c == 0:
+            base[t] = part
+            continue
+        if c > target_tokens:
+            if load:  # close the partially-filled partition
+                part += 1
+                load = 0
+            k = -(-c // target_tokens)
+            base[t] = part
+            ksplit[t] = k
+            part += k
+            continue
+        if load + c > target_tokens and load:
+            part += 1
+            load = 0
+        base[t] = part
+        load += c
+    n_partitions = part + (1 if load else 0)
+    return base, ksplit, max(1, n_partitions)
+
+
+def _vocab_id_maps(types_list: list[str]):
+    """Driver-side stem + dense-id assignment over the distinct-type
+    vocabulary.  Returns (tid_for_type int32 array parallel to types_list,
+    id2term object array indexed by term_id, empty_tid or None).  term_ids
+    follow sorted-term order so ordering by term_id == ordering by term."""
+    import numpy as np
+
+    from ..text.porter2 import stem as _stem
+
+    stems = [_stem(t) for t in types_list]
+    terms_sorted = sorted(set(stems))
+    term_to_id = {t: i for i, t in enumerate(terms_sorted)}
+    tid_for_type = np.fromiter(
+        (term_to_id[s] for s in stems), dtype=np.int32, count=len(stems)
+    )
+    id2term = np.array(terms_sorted, dtype=object)
+    return tid_for_type, id2term, term_to_id.get("")
+
+
+def _encoded_routed_tokens(
+    spark: SparkSession,
+    types: DataFrame,
+    types_list: list[str],
+    tid_for_type,
+    empty_tid: int | None,
+    base_part,
+    ksplit,
+    vmap,
+) -> DataFrame:
+    """(doc_id, position, type) -> (term_id, doc_id, position, _route)
+    entirely JVM-side: a broadcast hash join against the (type -> term_id,
+    base, ksplit) dictionary plus a tiny (part -> _route) join — whole-stage
+    codegen end to end, no Python on the map side of the build's dominant
+    shuffle (an Arrow-kernel variant of this encode measured ~25 s/900k
+    turns of extra map-side CPU at width 2: the cache scan left and
+    re-entered Python for a lookup the JVM join does in the same pass).
+    The empty term drops out via the inner join (its row is omitted from
+    the dictionary — spimi.py:137); hot terms stripe across their planned
+    partitions by doc_id % ksplit; ``_route`` carries the
+    murmur3-representative value so ``repartition(P, "_route")`` places
+    every row on its exact planned partition."""
+    import pandas as pd
+
+    keep = [i for i, _t in enumerate(types_list) if empty_tid is None or tid_for_type[i] != empty_tid]
+    map_pdf = pd.DataFrame(
+        {
+            "type": [types_list[i] for i in keep],
+            "term_id": tid_for_type[keep].astype("int32"),
+            "base": base_part[tid_for_type[keep]].astype("int32"),
+            "ksplit": ksplit[tid_for_type[keep]].astype("int32"),
+        }
+    )
+    map_df = spark.createDataFrame(map_pdf, "type string, term_id int, base int, ksplit int")
+    route_pdf = pd.DataFrame(
+        {"part": range(len(vmap)), "_route": vmap.astype("int32")}
+    )
+    route_df = spark.createDataFrame(route_pdf, "part int, _route int")
+    return (
+        types.join(F.broadcast(map_df), "type")
+        .withColumn(
+            "part", (F.col("base") + F.pmod(F.col("doc_id"), F.col("ksplit"))).cast("int")
+        )
+        .join(F.broadcast(route_df), "part")
+        .select("term_id", "doc_id", "position", "_route")
+    )
+
+
+def _doc_stats_types_kernel(vocab_bc):
+    """B5/B6 with ZERO shuffle: per-doc doc_len and Euclidean L_d computed
+    entirely within the types-cache partitions.  Every token of a document
+    lives in one partition (each doc is a single input row to the tokenize
+    kernel), so per-(doc, term) tf — which L_d needs BEFORE squaring — is a
+    partition-local grouping: accumulate (doc_id, term_id) pairs across
+    Arrow batches with periodic compaction, lexsort once per compaction,
+    and reduce.  This replaces the full-token-stream groupBy(term, doc_id)
+    shuffle the string path pays for stats (measured 69-79 s of a 250 s
+    900k-turn build).  Memory: O(live pairs) ≤ compaction threshold +
+    one batch, independent of partition size."""
+
+    def fn(iterator):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        types_list, tid_for_type = vocab_bc.value
+        value_set = pa.array(types_list, type=pa.string())
+        COMPACT_AT = 4_000_000
+
+        docs_acc: list = []
+        tids_acc: list = []
+        cnts_acc: list = []
+        size = [0]
+
+        def compact():
+            docs_np = np.concatenate(docs_acc)
+            tids_np = np.concatenate(tids_acc)
+            cnts_np = np.concatenate(cnts_acc)
+            order = np.lexsort((tids_np, docs_np))
+            docs_np, tids_np, cnts_np = docs_np[order], tids_np[order], cnts_np[order]
+            n = len(docs_np)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (docs_np[1:] != docs_np[:-1]) | (tids_np[1:] != tids_np[:-1])
+            starts = np.flatnonzero(change)
+            tf = np.add.reduceat(cnts_np, starts)
+            docs_acc.clear(), tids_acc.clear(), cnts_acc.clear()
+            docs_acc.append(docs_np[starts])
+            tids_acc.append(tids_np[starts])
+            cnts_acc.append(tf)
+            size[0] = len(starts)
+            return docs_np[starts], tf
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            arr = pa.Array.from_pandas(pdf["type"], type=pa.string())
+            idx = pc.index_in(arr, value_set=value_set).to_numpy(zero_copy_only=False)
+            docs_acc.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+            tids_acc.append(tid_for_type[idx.astype(np.int64)])
+            cnts_acc.append(np.ones(len(pdf), dtype=np.int64))
+            size[0] += len(pdf)
+            if size[0] >= COMPACT_AT:
+                compact()
+        if not size[0]:
+            return
+        gdoc, tf = compact()
+        dchange = np.empty(len(gdoc), dtype=bool)
+        dchange[0] = True
+        dchange[1:] = gdoc[1:] != gdoc[:-1]
+        dstarts = np.flatnonzero(dchange)
+        doc_len = np.add.reduceat(tf, dstarts)
+        w = np.square(1.0 + np.log(tf.astype(np.float64)))
+        l2 = np.sqrt(np.add.reduceat(w, dstarts))
+        yield pd.DataFrame(
+            {"doc_id": gdoc[dstarts], "doc_len": doc_len, "l2_weight": l2}
+        )
+
+    return fn
 
 
 BROADCAST_WEIGHTS_MAX_DOCS = 4_000_000  # ~100 MB of (doc_id, doc_len, l2)
@@ -475,8 +739,18 @@ class IndexBuilder:
         280 s with every shuffle at ~31 — the postings shuffle alone being
         data-sized recovered less than half the loss).  The corpus size is
         free at this point: assign_doc_ids attaches its counting-pass total
-        as ``_n_docs``."""
+        as ``_n_docs``; without the hint one narrow count() pays for both
+        the shuffle sizing and the encoded-path eligibility decision.
+
+        Path selection: corpora ≤ BROADCAST_WEIGHTS_MAX_DOCS take the
+        dictionary-encoded path (_build_encoded — int term_id shuffle,
+        zero-shuffle doc stats, one fused stats collect); larger corpora or
+        vocabularies beyond VOCAB_ENCODE_MAX take the string-shuffle path
+        (_build) whose per-row weight join and distributed stem dictionary
+        are the right plan at that scale."""
         n_docs_hint = getattr(docs, "_n_docs", None)
+        if n_docs_hint is None:
+            n_docs_hint = docs.count()
         sp_build = self.n_partitions
         if n_docs_hint:
             sp_build = max(sp_build, -(-int(n_docs_hint) // DOCS_PER_POSTINGS_PARTITION))
@@ -485,12 +759,22 @@ class IndexBuilder:
         self._sp_build = sp_build
         try:
             with pinned_build_conf(self.spark):
+                if 0 < n_docs_hint <= BROADCAST_WEIGHTS_MAX_DOCS:
+                    return self._build_encoded(docs, int(n_docs_hint), resume=resume)
                 return self._build(docs, resume=resume)
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     def _build(self, docs: DataFrame, resume: bool = False) -> dict:
         t0 = time.time()
+        phases: dict[str, float] = {}
+        _last = [t0]
+
+        def lap(name: str) -> None:
+            now = time.time()
+            phases[name] = round(now - _last[0], 3)
+            _last[0] = now
+
         if resume:
             self._load_manifest()
 
@@ -553,6 +837,7 @@ class IndexBuilder:
             doc_stats = stats_cache
             set_desc("phase:stats — materialize doc/type caches + corpus stats")
             stats_row = corpus_stats_table(stats_cache).collect()[0]
+            lap("stats_action")
             # Data-wise the RANGED corpus cache behind assign_doc_ids is
             # redundant from here on (the corpus-stats action materialized
             # the enumerated docs + token type caches), but it must NOT be
@@ -608,6 +893,7 @@ class IndexBuilder:
                 arrays = doc_weight_arrays(doc_stats, n_docs)
                 if arrays is not None:
                     weights_bc = spark.sparkContext.broadcast(arrays)
+                lap("weights_collect")
             set_desc("phase:postings — range shuffle + kernel + parquet write")
             enriched = enriched_tokens(
                 tokens,
@@ -625,6 +911,7 @@ class IndexBuilder:
             ).persist()
             _write(postings_cache, os.path.join(out, "postings"))
             self._mark_stage("postings")
+            lap("postings")
 
         if writer is not None:
             writer.join()
@@ -633,7 +920,45 @@ class IndexBuilder:
             self._mark_stage("doc_stats")
             self._mark_stage("corpus_stats")
             stats_cache.unpersist()
+            lap("stats_write_join")
 
+        return self._finish(
+            t0=t0,
+            phases=phases,
+            lap=lap,
+            docs=docs,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            total_tokens=int(stats_row["total_tokens"]),
+            postings_cache=postings_cache,
+            weights_bc=weights_bc,
+            postings_partitions=postings_partitions,
+            set_desc=set_desc,
+            resume=resume,
+            types_cache=getattr(tokens, "_types_cache", None),
+        )
+
+    def _finish(
+        self,
+        t0,
+        phases,
+        lap,
+        docs,
+        n_docs,
+        avgdl,
+        total_tokens,
+        postings_cache,
+        weights_bc,
+        postings_partitions,
+        set_desc,
+        resume,
+        types_cache=None,
+    ) -> dict:
+        """Shared build tail: segments, dictionary, metrics, cache release —
+        identical for the string-shuffle and dictionary-encoded paths (both
+        hand over a sorted-by-(term, doc_id) postings cache/artifact)."""
+        spark = self.spark
+        out = self.out_dir
         postings_df = spark.read.parquet(os.path.join(out, "postings"))
 
         # S5/B4: compressed block-max segments (delta+varbyte blobs; the
@@ -652,6 +977,7 @@ class IndexBuilder:
                 ).sortWithinPartitions("term", "doc_id")
             _write(encode_segments(seg_input), os.path.join(out, "segments"))
             self._mark_stage("segments")
+            lap("segments")
         if postings_cache is not None:
             postings_cache.unpersist()
         if weights_bc is not None:
@@ -673,6 +999,7 @@ class IndexBuilder:
             )
             _write(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), os.path.join(out, "term_stats"))
             self._mark_stage("term_stats")
+            lap("term_stats")
 
         # build metrics (north rule: postings/sec, skew ratio, lineage).
         # n_postings comes from the per-partition lineage (parquet footers)
@@ -685,7 +1012,6 @@ class IndexBuilder:
         n_postings = (
             sum(p["rows"] for p in lineage) if lineage else postings_df.count()
         )
-        total_tokens = int(stats_row["total_tokens"])
         df_stats = (
             spark.read.parquet(os.path.join(out, "term_stats"))
             .agg(F.max("df").alias("max_df"), F.avg("df").alias("avg_df"))
@@ -699,7 +1025,9 @@ class IndexBuilder:
             )
             .collect()[0]
         )
+        lap("metrics")
         self.manifest["metrics"] = {
+            "phase_seconds": phases,
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "n_postings": n_postings,
@@ -713,8 +1041,8 @@ class IndexBuilder:
             "avgdl": avgdl,
         }
         self._save_manifest()
-        if hasattr(tokens, "_types_cache"):
-            tokens._types_cache.unpersist()
+        if types_cache is not None:
+            types_cache.unpersist()
         docs.unpersist()
         # release the docID cache behind OUR input frame.  The scoped handle
         # is a plain attribute that intermediate transformations drop; when
@@ -728,6 +1056,225 @@ class IndexBuilder:
             release_docid_caches()
         set_desc(None)
         return self.manifest
+
+
+    def _build_encoded(self, docs: DataFrame, n_docs: int, resume: bool = False) -> dict:
+        """Dictionary-encoded build (see VOCAB_ENCODE_MAX comment): the same
+        artifacts as _build, produced with
+
+          * ONE driver-side vocab collect instead of a stem-dictionary
+            subquery (distinct + Python UDF + broadcast exchange) re-executed
+            under every downstream action;
+          * ZERO-shuffle doc stats (_doc_stats_types_kernel) instead of the
+            full-token-stream groupBy(term, doc_id) aggregation;
+          * ONE fused stats collect serving corpus stats AND the kernel
+            weight arrays (two driver actions in _build);
+          * a range shuffle of (term_id:int32, doc_id, position) rows —
+            fixed-width int sort keys instead of strings, directly attacking
+            the DRAM-bandwidth wall that bounds wide-executor scaling
+            (BENCH.md: streaming bw scales at 0.43 8→32 on this host).
+
+        Falls back to _build when the vocabulary exceeds VOCAB_ENCODE_MAX or
+        doc_ids are outside a broadcastable range."""
+        import threading
+
+        import numpy as np
+
+        t0 = time.time()
+        phases: dict[str, float] = {}
+        _last = [t0]
+
+        def lap(name: str) -> None:
+            now = time.time()
+            phases[name] = round(now - _last[0], 3)
+            _last[0] = now
+
+        if resume:
+            self._load_manifest()
+        spark = self.spark
+        out = self.out_dir
+        meta_cols = [c for c in ("title", *META_COLS) if c in docs.columns]
+        set_desc = spark.sparkContext.setJobDescription
+
+        docs = docs.persist()
+        from ..text.spark_tokenize import _types_kernel
+
+        types = (
+            docs.select("doc_id", "text")
+            .mapInPandas(_types_kernel("text", "doc_id"), schema="doc_id long, position int, type string")
+            .persist()
+        )
+
+        # -- vocab: one tokenize pass materializes the caches; the distinct
+        # collect then reads them.  The approx guard keeps an adversarial
+        # vocabulary from being collected to the driver before falling back.
+        set_desc("phase:vocab — tokenize pass + per-type count collect")
+        # limit-guarded collect: the aggregation's map side scans every
+        # types partition (materializing the caches) regardless of the
+        # limit, while the limit caps what can reach the driver — an
+        # over-cutoff vocabulary falls back without ever being collected.
+        # (An earlier shape ran approx_count_distinct first as the guard:
+        # a full extra pass over the token stream per build, ~8 s/900k
+        # turns at width 8, pure fixed cost.)
+        vocab_rows = (
+            types.groupBy("type")
+            .agg(F.count("*").alias("c"))
+            .limit(VOCAB_ENCODE_MAX + 1)
+            .collect()
+        )
+        if len(vocab_rows) > VOCAB_ENCODE_MAX:
+            types.unpersist()
+            return self._build(docs, resume=resume)
+        types_list = [r["type"] for r in vocab_rows]
+        type_counts = np.fromiter(
+            (r["c"] for r in vocab_rows), dtype=np.int64, count=len(vocab_rows)
+        )
+        tid_for_type, id2term, empty_tid = _vocab_id_maps(types_list)
+        vocab_bc = spark.sparkContext.broadcast((types_list, tid_for_type))
+        id2term_bc = spark.sparkContext.broadcast(id2term)
+        # exact per-term token totals (the driver-side partition plan's
+        # input) fall out of the same collect
+        term_tokens = np.zeros(len(id2term), dtype=np.int64)
+        np.add.at(term_tokens, tid_for_type.astype(np.int64), type_counts)
+        if empty_tid is not None:
+            term_tokens[empty_tid] = 0  # excluded from the postings stream
+        lap("vocab_collect")
+
+        # -- stats: zero-shuffle kernel, ONE collect for corpus stats +
+        # weight arrays; parquet writes overlap the postings phase in a
+        # background thread exactly like _build.
+        stats_done = self._stage_done("doc_stats") and self._stage_done("corpus_stats")
+        fresh_stats = not stats_done or not resume
+        set_desc("phase:stats — zero-shuffle doc-stats kernel + fused collect")
+        if fresh_stats:
+            stats_pdf = (
+                types.mapInPandas(_doc_stats_types_kernel(vocab_bc), schema=DOC_STATS_SMALL_SCHEMA)
+                .toPandas()
+            )
+        else:
+            stats_pdf = (
+                spark.read.parquet(os.path.join(out, "doc_stats"))
+                .select("doc_id", "doc_len", "l2_weight")
+                .toPandas()
+            )
+            stats_pdf = stats_pdf[stats_pdf["doc_len"] > 0]
+        total_tokens = int(stats_pdf["doc_len"].sum())
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+        ids = stats_pdf["doc_id"].to_numpy(dtype=np.int64)
+        arr_size = n_docs
+        if len(ids):
+            mn, mx = int(ids.min()), int(ids.max())
+            if mn < 0 or mx >= 2 * BROADCAST_WEIGHTS_MAX_DOCS:
+                # ids outside any broadcastable dense range: the per-row
+                # weight join path handles arbitrary ids
+                types.unpersist()
+                return self._build(docs, resume=resume)
+            arr_size = max(n_docs, mx + 1)
+        dl_arr = np.zeros(arr_size, dtype=np.float64)
+        l2_arr = np.ones(arr_size, dtype=np.float64)
+        if len(ids):
+            dl_arr[ids] = stats_pdf["doc_len"].to_numpy(dtype=np.float64)
+            l2_arr[ids] = np.nan_to_num(
+                stats_pdf["l2_weight"].to_numpy(dtype=np.float64), nan=1.0
+            )
+        weights_bc = spark.sparkContext.broadcast((dl_arr, l2_arr))
+        lap("stats_collect")
+
+        writer: threading.Thread | None = None
+        writer_err: list[BaseException] = []
+        if fresh_stats:
+
+            def write_stats() -> None:
+                try:
+                    set_desc("phase:stats-write (background) — doc_stats + corpus_stats parquet")
+                    # pandas -> JVM upload happens on THIS thread: it is part
+                    # of the overlapped write, not the critical path
+                    stats_small_df = spark.createDataFrame(
+                        stats_pdf, schema=DOC_STATS_SMALL_SCHEMA
+                    )
+                    full = (
+                        docs.select("doc_id", *meta_cols)
+                        .join(stats_small_df, "doc_id", "left")
+                        .fillna({"doc_len": 0})
+                    )
+                    _write(full, os.path.join(out, "doc_stats"))
+                    corpus_df = spark.createDataFrame(
+                        [(n_docs, total_tokens, float(avgdl))],
+                        "n_docs bigint, total_tokens bigint, avgdl double",
+                    )
+                    _write(corpus_df, os.path.join(out, "corpus_stats"))
+                except BaseException as e:  # surfaced after join()
+                    writer_err.append(e)
+
+            writer = threading.Thread(target=write_stats, daemon=True)
+            writer.start()
+
+        # -- postings: driver-planned shuffle + kernel.  Weights + term
+        # strings ride broadcasts into the kernel; the shuffle carries three
+        # fixed-width columns; the partition ASSIGNMENT is computed on the
+        # driver from the exact per-term token totals (greedy contiguous
+        # packing, hot terms striped by doc_id % k) and routed through
+        # murmur3-representative values — no range-sampling pass over the
+        # token stream, no sampling error in the balance, skew defused
+        # deterministically.
+        width_floor = max(
+            getattr(self, "_sp_build", self.n_partitions),
+            -(-n_docs // DOCS_PER_POSTINGS_PARTITION),
+        )
+        total_route_tokens = int(term_tokens.sum())
+        target_tokens = max(1, -(-total_route_tokens // width_floor))
+        base_part, ksplit, postings_partitions = _plan_term_routes(
+            term_tokens, target_tokens
+        )
+        postings_cache = None
+        if not self._stage_done("postings") or not resume:
+            set_desc("phase:postings — planned int-id shuffle + kernel + parquet write")
+            enc = _encoded_routed_tokens(
+                spark,
+                types,
+                types_list,
+                tid_for_type,
+                empty_tid,
+                base_part,
+                ksplit,
+                _invert_partition_hash(postings_partitions),
+            )
+            enriched = (
+                enc.repartition(postings_partitions, F.col("_route"))
+                .select("term_id", "doc_id", "position")
+                .sortWithinPartitions("term_id", "doc_id", "position")
+            )
+            postings_cache = enriched.mapInPandas(
+                _postings_kernel(avgdl, weights_bc, id2term_bc), schema=POSTINGS_SCHEMA
+            ).persist()
+            _write(postings_cache, os.path.join(out, "postings"))
+            self._mark_stage("postings")
+            lap("postings")
+
+        if writer is not None:
+            writer.join()
+            if writer_err:
+                raise writer_err[0]
+            self._mark_stage("doc_stats")
+            self._mark_stage("corpus_stats")
+            lap("stats_write_join")
+
+        return self._finish(
+            t0=t0,
+            phases=phases,
+            lap=lap,
+            docs=docs,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            total_tokens=total_tokens,
+            postings_cache=postings_cache,
+            weights_bc=weights_bc,
+            postings_partitions=postings_partitions,
+            set_desc=set_desc,
+            resume=resume,
+            types_cache=types,
+        )
 
 
 def build_index(
