@@ -380,7 +380,7 @@ def near_dup_embedding_exact(embeddings: DataFrame, threshold: float = 0.95) -> 
 def near_dup_embedding(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
@@ -399,10 +399,13 @@ def near_dup_embedding(
     pair-materialize + two re-attach joins, which would shuffle the
     embedding table twice more plus the pair set.  Per-table recall for a
     pair at angle theta is (1 - theta/pi)^n_planes, amortized over n_tables
-    to 1 - (1 - p)^n_tables; raise n_planes (smaller buckets) as N grows
-    and n_tables to recover recall.  The DuckDB twin inlines the identical
-    LCG hyperplanes, so the gate compares identical candidate sets."""
-    from .similarity import hyperplane_signatures
+    to 1 - (1 - p)^n_tables; n_planes defaults to auto_n_planes(N) so
+    expected bucket occupancy — and with it the per-bucket O(occupancy^2)
+    pair work — stays constant as the corpus grows (pass an explicit value
+    to pin parameters, as the gates do); raise n_tables to recover recall.
+    The DuckDB twin inlines the identical LCG hyperplanes, so the gate
+    compares identical candidate sets."""
+    from .similarity import auto_n_planes, hyperplane_signatures
 
     if dim is None:  # pass dim when known to skip this probing job
         drow = embeddings.select(F.size("embedding").alias("d")).first()
@@ -411,6 +414,8 @@ def near_dup_embedding(
                 [], "vec_a long, vec_b long, sim_r double"
             )
         dim = int(drow["d"])
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count())
 
     signed = hyperplane_signatures(
         embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim

@@ -47,7 +47,7 @@ def build_embedding_index(
     spark: SparkSession,
     embeddings: DataFrame,
     out: str,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
     sort_table: int = 0,
@@ -55,11 +55,18 @@ def build_embedding_index(
     """Sign ``embeddings`` (vec_id, embedding) once and persist
     (vec_id, embedding, bucket_0..bucket_{n_tables-1}) + manifest at ``out``.
 
-    ``sort_table`` selects which table's bucket column orders the layout
-    (range partition + within-partition sort) and therefore which table's
-    probes get row-group pruning."""
+    ``n_planes`` defaults to auto_n_planes(N): at ingest time the corpus
+    size is known, so the bucket granularity is sized to keep expected
+    occupancy constant rather than trusting a caller-pinned constant to
+    survive corpus growth.  ``sort_table`` selects which table's bucket
+    column orders the layout (range partition + within-partition sort) and
+    therefore which table's probes get row-group pruning."""
+    from .similarity import auto_n_planes
+
     drow = embeddings.select(F.size("embedding").alias("d")).first()
     dim = 0 if drow is None else int(drow["d"])
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count())
     signed = hyperplane_signatures(
         embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim
     )

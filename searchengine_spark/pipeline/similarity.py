@@ -29,6 +29,23 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# expected bucket occupancy is N / 2^n_planes: at FIXED planes it grows
+# linearly with the corpus, and the per-bucket kernels do O(occupancy^2)
+# pair work — the same defect class as core-count-sized shuffle partitions
+# (round 3's build fix).  Entry points therefore default n_planes to
+# auto_n_planes(N) and accept an explicit value for pinned-parameter gates.
+TARGET_BUCKET_OCCUPANCY = 64
+
+
+def auto_n_planes(n_vectors: int, target: int = TARGET_BUCKET_OCCUPANCY, floor: int = 4) -> int:
+    """Plane count that keeps expected bucket occupancy ~constant as the
+    corpus grows: ceil(log2(N / target)), floored for tiny inputs.  10x the
+    vectors -> ~3.3 more planes -> same expected pair work per bucket."""
+    if n_vectors <= target:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target)))
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -215,7 +232,7 @@ def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
@@ -231,6 +248,8 @@ def lsh_cosine_topk(
     qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").first()
     if qrow is None:
         raise ValueError(f"vec_id {query_vec_id} not found")
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count())
     dim = len(qrow["embedding"])
     qbuckets = _buckets_for_vec(qrow["embedding"], n_planes, n_tables, seed, dim)
     signed = hyperplane_signatures(embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed)
@@ -253,10 +272,13 @@ class LshIndex:
     def __init__(
         self,
         embeddings: DataFrame,
-        n_planes: int = 4,
+        n_planes: int | None = None,
         n_tables: int = 16,
         seed: int = 42,
     ):
+        if n_planes is None:
+            n_planes = auto_n_planes(embeddings.count())
+        self.n_planes = n_planes
         self.n_tables = n_tables
         self.signed = hyperplane_signatures(
             embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed

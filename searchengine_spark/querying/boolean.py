@@ -145,9 +145,36 @@ def matches_search(index: SparkIndex, raw_query: str) -> DataFrame:
         isinstance(node, And) and not any(c.is_positive() for c in node.children)
     ):
         return index.postings.sparkSession.createDataFrame([], "doc_id long")
-    doc_terms = index.doc_stats.select("doc_id").join(
-        index.postings.groupBy("doc_id").agg(F.collect_set("term").alias("_terms")),
-        "doc_id",
-        "left",
-    ).withColumn("_terms", F.coalesce(F.col("_terms"), F.array().cast("array<string>")))
-    return doc_terms.filter(matches_expr(node, F.col("_terms"))).select("doc_id")
+    return (
+        _doc_terms(index)
+        .filter(matches_expr(node, F.col("_terms")))
+        .select("doc_id")
+    )
+
+
+def _doc_terms(index) -> DataFrame:
+    """doc_id -> term-set frame behind matches_search, computed ONCE per
+    index/engine and persisted (handle cached on the index object).  The
+    aggregation is a full postings shuffle — fine to pay once per session,
+    a scale-killer to pay per query; a serving deployment at 10^12 turns
+    would precompute this as an index artifact instead (the matches() path
+    is a scan-side fallback, not the serving path — queries with an index
+    available should use boolean_search)."""
+    cached = getattr(index, "_matches_doc_terms", None)
+    if cached is None:
+        cached = (
+            index.doc_stats.select("doc_id")
+            .join(
+                index.postings.groupBy("doc_id").agg(
+                    F.collect_set("term").alias("_terms")
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "_terms", F.coalesce(F.col("_terms"), F.array().cast("array<string>"))
+            )
+            .persist()
+        )
+        index._matches_doc_terms = cached
+    return cached

@@ -45,3 +45,22 @@ def test_matches_negative_or_disjunct_reference_divergence(spark_index):
     assert scan_docs == cat | (universe - dog)
     with _pytest.raises(ValueError, match="negative-only"):
         dk.sql_matches(q)
+
+
+def test_matches_doc_terms_persisted_and_reused(spark_index):
+    """Round-4 fix: the doc->term-set aggregation behind matches_search runs
+    once per index and is persisted; the second query's plan reads the cache
+    (InMemoryTableScan) instead of re-aggregating postings."""
+    from searchengine_spark.querying.boolean import matches_search
+
+    matches_search(spark_index, "quick fox").count()
+    handle = getattr(spark_index, "_matches_doc_terms", None)
+    assert handle is not None and handle.is_cached
+    plan = (
+        matches_search(spark_index, "lazy dog")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan
+    assert "mapInPandas" not in plan.lower() or "InMemoryTableScan" in plan

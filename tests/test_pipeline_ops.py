@@ -112,3 +112,34 @@ def test_lsh_index_materialized_matches_one_shot(spark, embeddings):
             assert a == b
     finally:
         idx.unpersist()
+
+
+def test_auto_n_planes_bounds_bucket_occupancy(spark):
+    """Round-4 scale fix: n_planes defaults to auto_n_planes(N), so growing
+    the corpus 10x must NOT grow expected bucket occupancy — the per-bucket
+    kernels do O(occupancy^2) pair work."""
+    import numpy as np
+
+    from searchengine_spark.pipeline.similarity import (
+        auto_n_planes,
+        hyperplane_signatures,
+    )
+
+    # analytic property of the sizing rule itself
+    for n in (100, 1_000, 10_000, 1_000_000, 100_000_000):
+        assert n / 2 ** auto_n_planes(n) <= 2 * 64  # target occupancy 64
+
+    # measured property on real (deterministic) vectors: occupancy at 10x
+    # the corpus with auto planes stays within ~2x of the small-corpus
+    # occupancy, instead of growing ~10x at fixed planes
+    rng = np.random.RandomState(7)
+
+    def occupancy(n):
+        vecs = [(i, [float(v) for v in rng.randn(16)]) for i in range(n)]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        signed = hyperplane_signatures(emb, n_planes=auto_n_planes(n), n_tables=1, seed=42)
+        sizes = [r["c"] for r in signed.groupBy("bucket_0").agg(F.count("*").alias("c")).collect()]
+        return sum(sizes) / len(sizes)
+
+    occ_small, occ_big = occupancy(400), occupancy(4000)
+    assert occ_big <= 2.5 * occ_small, (occ_small, occ_big)
