@@ -211,6 +211,18 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_tokenize_spanish_lite(spark, sf_dir):
+    # T8 end-to-end: registry dispatch -> Arrow lemma kernel (built-in
+    # rule-based Spanish lemmatizer, text/pipelines.py).  The DuckDB twin
+    # implements the SAME ordered suffix rules independently as SQL CASE
+    # expressions — a genuine cross-check, not an output-copied lookup.
+    from searchengine_spark.text.pipelines import tokenize_language
+
+    return tokenize_language(_docs(spark, sf_dir), "spanish-lite").select(
+        "doc_id", F.col("position").cast("long").alias("position"), "term"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -340,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "fingerprint": q_fingerprint,
+        "tokenize_spanish_lite": q_tokenize_spanish_lite,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -380,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": dk.sql_lang_id(),
         "lang_id_ngram": dk.sql_lang_id_ngram(),
         "fingerprint": dk.sql_fingerprint(),
+        "tokenize_spanish_lite": dk.sql_tokenize_spanish_lite(),
         "dedup_exact": dk.sql_dedup_exact(),
         "dedup_minhash": dk.sql_dedup_minhash(12, 3),
         "dedup_simhash": dk.sql_simhash(32),

@@ -574,3 +574,39 @@ sims AS (
 )
 SELECT vec_id, round(sim, 4) + 0.0 AS sim_r FROM sims
 ORDER BY round(sim, 4) + 0.0 DESC, vec_id LIMIT {k}"""
+
+
+def sql_tokenize_spanish_lite() -> str:
+    """Twin of the spanish-lite pipeline (text/pipelines.py): whitespace
+    split, positions over non-empty tokens, alphabetic filter, lowercase,
+    then the SAME ordered lemma rules implemented INDEPENDENTLY as a CASE
+    chain + inlined irregular-verb table — not a copied lookup of the
+    Python function's outputs, so the gate is a genuine cross-check."""
+    from .text.pipelines import _SPANISH_IRREGULAR
+
+    irr_rows = ", ".join(f"('{k}', '{v}')" for k, v in sorted(_SPANISH_IRREGULAR.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> len(x) > 0) AS arr
+  FROM documents
+), pos_tok AS (
+  SELECT doc_id, unnest(arr) AS tok, unnest(range(1, len(arr)+1))::BIGINT AS position FROM toks
+), alpha AS (
+  SELECT doc_id, position, lower(tok) AS typ FROM pos_tok
+  WHERE regexp_matches(tok, '^[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]+$')
+), irregular(typ, lemma) AS (VALUES {irr_rows}),
+lemmas AS (
+  SELECT a.doc_id, a.position,
+         coalesce(i.lemma,
+           CASE
+             WHEN len(a.typ) > 6 AND a.typ LIKE '%mente' THEN substr(a.typ, 1, len(a.typ)-5)
+             WHEN len(a.typ) > 7 AND a.typ LIKE '%ciones' THEN substr(a.typ, 1, len(a.typ)-6) || 'ción'
+             WHEN len(a.typ) > 4 AND a.typ LIKE '%ces' THEN substr(a.typ, 1, len(a.typ)-3) || 'z'
+             WHEN len(a.typ) > 4 AND regexp_matches(a.typ, '[rlndzjsxmy]es$') THEN substr(a.typ, 1, len(a.typ)-2)
+             WHEN len(a.typ) > 3 AND a.typ LIKE '%s' THEN substr(a.typ, 1, len(a.typ)-1)
+             ELSE a.typ
+           END) AS term
+  FROM alpha a LEFT JOIN irregular i ON a.typ = i.typ
+)
+SELECT doc_id, position, term FROM lemmas"""

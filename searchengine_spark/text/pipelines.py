@@ -88,7 +88,7 @@ def make_lemma_kernel_pipeline(
                 ids, positions, terms = [], [], []
                 for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                     pos = 0
-                    for tok in tokenize_fn(str(text)):
+                    for tok in tokenize_fn(str(text) if text is not None else ""):
                         if not tok:
                             continue
                         pos += 1
@@ -146,3 +146,78 @@ try:  # auto-register when the optional dependency exists
     register_language_pipeline("spanish", make_spacy_spanish_pipeline())
 except ImportError:
     pass
+
+
+# --- spanish-lite: built-in rule-based lemmatizer ----------------------------
+# A dependency-free Spanish pipeline so T8 is exercisable END TO END in this
+# container (the spaCy backend above needs models this sandbox lacks).  The
+# lemmatizer is a small deterministic rule set over public Spanish morphology
+# — irregular high-frequency verb forms + plural/adverb/'-ciones' suffix
+# stripping — NOT a full analyzer; its value here is that the whole T8
+# surface (registry dispatch -> Arrow lemma kernel -> token-stream contract)
+# runs for real, with an INDEPENDENT SQL twin (duck_oracle implements the
+# same rules as CASE expressions, not a copied lookup table).
+
+_SPANISH_IRREGULAR = {
+    "es": "ser", "son": "ser", "era": "ser", "eran": "ser",
+    "fue": "ser", "fueron": "ser", "sea": "ser",
+    "está": "estar", "están": "estar", "estaba": "estar",
+    "tiene": "tener", "tienen": "tener", "tenía": "tener",
+    "va": "ir", "van": "ir", "iba": "ir",
+    "hace": "hacer", "hacen": "hacer", "hacía": "hacer",
+    "dice": "decir", "dicen": "decir", "dijo": "decir",
+    "puede": "poder", "pueden": "poder", "podía": "poder",
+    "hay": "haber",
+}
+
+_SPANISH_ALPHA = set("abcdefghijklmnopqrstuvwxyzáéíóúüñ")
+_ES_CONSONANTS = "rlndzjsxmy"
+
+
+def spanish_lite_lemma(t: str) -> str:
+    """Rule-based lemma, mirrored expression-for-expression by
+    duck_oracle.sql_tokenize_spanish_lite (ORDERED rules — the SQL CASE
+    evaluates in the same order)."""
+    irr = _SPANISH_IRREGULAR.get(t)
+    if irr:
+        return irr
+    n = len(t)
+    if n > 6 and t.endswith("mente"):
+        return t[:-5]
+    if n > 7 and t.endswith("ciones"):
+        return t[:-6] + "ción"
+    if n > 4 and t.endswith("ces"):
+        return t[:-3] + "z"
+    if n > 4 and t.endswith("es") and t[-3] in _ES_CONSONANTS:
+        return t[:-2]
+    if n > 3 and t.endswith("s"):
+        return t[:-1]
+    return t
+
+
+def _spanish_lite_is_alpha(tok: str) -> bool:
+    """Charset-pinned (not str.isalpha()): the SQL twin tests the identical
+    class ^[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]+$, and unicode isalpha() admits letters
+    RE2 character classes cannot enumerate."""
+    return bool(tok) and all(c in _SPANISH_ALPHA for c in tok.lower())
+
+
+import re as _re
+
+# ASCII whitespace class, pinned to the SQL twin's string_split_regex class
+# (str.split would also split on unicode whitespace the twin does not see)
+_SPANISH_WS = _re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def make_spanish_lite_pipeline() -> PipelineFn:
+    """Whitespace tokenize (the spaCy backend tokenizes with a model; lite
+    documents the divergence), alphabetic filter, lowercase, rule lemma —
+    the spanishtokenprocessor.py:9-27 shape with a built-in lemmatizer."""
+    return make_lemma_kernel_pipeline(
+        tokenize_fn=_SPANISH_WS.split,
+        lemma_fn=spanish_lite_lemma,
+        is_alpha_fn=_spanish_lite_is_alpha,
+    )
+
+
+register_language_pipeline("spanish-lite", make_spanish_lite_pipeline())

@@ -92,3 +92,53 @@ def test_lemma_kernel_feeds_build(spark, tmp_path):
 
     postings = {(r["term"], r["doc_id"]) for r in postings_all_table(toks).collect()}
     assert ("perro", 0) in postings and ("perro", 1) in postings
+
+
+def test_spanish_lite_registered_and_lemmatizes(spark):
+    from searchengine_spark.text.pipelines import (
+        available_languages,
+        spanish_lite_lemma,
+        tokenize_language,
+    )
+
+    assert "spanish-lite" in available_languages()
+    # rule spot checks (ordered rules)
+    assert spanish_lite_lemma("es") == "ser"  # irregular beats suffix rules
+    assert spanish_lite_lemma("rápidamente") == "rápida"
+    assert spanish_lite_lemma("naciones") == "nación"
+    assert spanish_lite_lemma("luces") == "luz"
+    assert spanish_lite_lemma("flores") == "flor"
+    assert spanish_lite_lemma("casas") == "casa"
+    assert spanish_lite_lemma("sol") == "sol"
+
+    docs = spark.createDataFrame(
+        [(0, "Las naciones   tienen ciudades grandes"), (1, "el sol 123 no-alpha es brillante")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["position"], r["term"])
+            for r in tokenize_language(docs, "spanish-lite").collect()}
+    # positions count non-empty tokens; non-alpha tokens burn a position
+    assert (0, 1, "las") in rows         # len<=3: plural rule does not fire
+    assert (0, 2, "nación") in rows
+    assert (0, 3, "tener") in rows       # irregular
+    assert (0, 4, "ciudade") in rows or (0, 4, "ciudad") in rows
+    assert not any(d == 1 and t in ("123", "no-alpha", "noalpha") for d, _p, t in rows)
+    assert (1, 5, "ser") in rows         # '123'/'no-alpha' burn positions 3-4
+
+
+def test_spanish_lite_matches_duck_oracle(spark):
+    """The gate check in miniature: Spark pipeline vs the independent SQL
+    rule implementation over the sf0.001 documents table."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    sdf = e.q_tokenize_spanish_lite(spark, "/root/testdata/sf0.001").toPandas()
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'")
+    odf = con.sql(e.oracle_sql()["tokenize_spanish_lite"]).df()
+    cols = ["doc_id", "position", "term"]
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
