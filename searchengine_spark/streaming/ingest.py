@@ -39,6 +39,50 @@ from ..data.transcripts import spark_schema
 from ..indexing.build import IndexBuilder, assign_doc_ids
 
 
+def _merge_term_stats(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two term_stats tables (B7 + block-max metadata) — a vocab-sized
+    full-outer join, NOT a re-aggregation over the postings: df/cf add,
+    max_wdt_* take the max, block-max top lists concat+resort+slice(32),
+    min block maxima take the min, block counts add.  Every combiner is
+    associative, so repeated incremental compactions compose exactly."""
+    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
+    d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
+    j = o.join(d, o["o_term"] == d["d_term"], "full_outer")
+
+    def add(col):
+        return (F.coalesce(f"o_{col}", F.lit(0)) + F.coalesce(f"d_{col}", F.lit(0))).alias(col)
+
+    def mx(col):
+        return F.greatest(f"o_{col}", f"d_{col}").alias(col)
+
+    def mn(col):
+        return F.least(f"o_{col}", f"d_{col}").alias(col)
+
+    def top32(col):
+        empty = F.array().cast("array<double>")
+        return F.slice(
+            F.sort_array(
+                F.concat(F.coalesce(f"o_{col}", empty), F.coalesce(f"d_{col}", empty)),
+                asc=False,
+            ),
+            1,
+            32,
+        ).alias(col)
+
+    return j.select(
+        F.coalesce("o_term", "d_term").alias("term"),
+        add("df"),
+        add("cf"),
+        mx("max_wdt_bm25"),
+        mx("max_wdt_tfidf_norm"),
+        top32("top_block_max_bm25"),
+        mn("min_block_max_bm25"),
+        top32("top_block_max_tfidf_norm"),
+        mn("min_block_max_tfidf_norm"),
+        add("n_blocks"),
+    )
+
+
 class StreamingIndexer:
     def __init__(self, spark: SparkSession, index_dir: str, n_partitions: int | None = None):
         self.spark = spark
@@ -155,25 +199,159 @@ class StreamingIndexer:
         return writer.start()
 
     # -- compaction --------------------------------------------------------
-    def compact(self) -> dict:
-        """Merge all deltas into a standard batch index layout (postings with
+    def compact(self, avgdl_tolerance: float = 0.05) -> dict:
+        """Merge deltas into a standard batch index layout (postings with
         finalized weights, block-max segments, term/doc/corpus stats) under
-        index_dir.  Reuses the batch IndexBuilder stages from the raw-delta
-        representation.  Pinned build shuffle config (see pinned_build_conf)."""
+        index_dir.  Pinned build shuffle config (see pinned_build_conf).
+
+        INCREMENTAL after the first compaction: only epochs ingested since
+        the last compact are weighted, encoded and APPENDED as new parquet
+        files next to the existing ones — O(delta) work, the existing
+        postings/segments files are not rewritten (new doc_ids never
+        collide with old ones, so the union is exact).  The vocab-sized
+        term_stats table is merged (df/cf sums, block-max top merges) and
+        the one-row corpus_stats is recomputed arithmetically.
+
+        Document weights depend on avgdl, a corpus-global statistic that
+        drifts as turns arrive.  Old docs' (tf, doc_len) never change, so
+        their weights stay exact under the avgdl the index was built with;
+        the incremental path therefore weights NEW postings with that same
+        pinned avgdl (keeping every score in the index mutually consistent)
+        as long as the true avgdl has drifted less than ``avgdl_tolerance``
+        relatively — beyond that it falls back to a full recompaction with
+        the fresh avgdl (deltas are retained for exactly this).  Tolerance 0
+        forces a full recompact whenever avgdl moved at all."""
         from ..indexing.build import pinned_build_conf
 
         with pinned_build_conf(self.spark):
-            return self._compact_inner()
+            m = self._manifest()
+            if not m["epochs"]:
+                raise ValueError("no epochs ingested")
+            compacted = m.get("compacted")
+            new_epochs = [
+                eid
+                for eid in sorted(m["epochs"], key=int)
+                if eid not in set(m.get("compacted_epochs", []))
+            ]
+            if compacted is None:
+                return self._compact_full(m)
+            if not new_epochs:
+                return self._load_builder_manifest()
+            return self._compact_incremental(m, new_epochs, avgdl_tolerance)
 
-    def _compact_inner(self) -> dict:
+    def _load_builder_manifest(self) -> dict:
+        builder = IndexBuilder(self.spark, self.index_dir, self.n_partitions)
+        builder._load_manifest()
+        return builder.manifest
+
+    def _compact_incremental(self, m: dict, new_epochs: list[str], tolerance: float) -> dict:
+        from ..indexing.build import term_stats_with_block_meta
+        from ..indexing.segments import encode_segments
+
+        spark = self.spark
+        st = m["compacted"]
+        epoch_dirs = [os.path.join(self.deltas_dir, f"epoch={eid}") for eid in new_epochs]
+
+        delta_stats = spark.read.parquet(*[os.path.join(d, "doc_stats") for d in epoch_dirs])
+        agg = delta_stats.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tok")
+        ).collect()[0]
+        n_docs_new = st["n_docs"] + int(agg["n"])
+        total_new = st["total_tokens"] + int(agg["tok"])
+        avgdl_true = total_new / n_docs_new if n_docs_new else 0.0
+        avgdl_used = st["avgdl_used"]
+        drift = abs(avgdl_true - avgdl_used) / avgdl_used if avgdl_used else float("inf")
+        if drift > tolerance:
+            return self._compact_full(m)
+
+        # O(delta): weight + sort + APPEND only the new epochs' postings
+        raw = spark.read.parquet(*[os.path.join(d, "postings_raw") for d in epoch_dirs])
+        delta_weighted = (
+            self._weighted(raw, delta_stats, avgdl_used)
+            .repartitionByRange(self.n_partitions, "term", "doc_id")
+            .sortWithinPartitions("term", "doc_id")
+            .persist()
+        )
+        delta_weighted.write.mode("append").parquet(os.path.join(self.index_dir, "postings"))
+        delta_segments = encode_segments(delta_weighted).persist()
+        delta_segments.write.mode("append").parquet(os.path.join(self.index_dir, "segments"))
+        n_postings_delta = delta_weighted.count()
+
+        # vocab-sized merge of the dictionary (not an O(index) re-aggregation)
+        old_ts = spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        delta_ts = term_stats_with_block_meta(delta_weighted, delta_segments)
+        merged = _merge_term_stats(old_ts, delta_ts)
+        tmp_ts = os.path.join(self.index_dir, "term_stats_tmp")
+        merged.write.mode("overwrite").parquet(tmp_ts)
+        final_ts = os.path.join(self.index_dir, "term_stats")
+        import shutil
+
+        shutil.rmtree(final_ts)
+        os.replace(tmp_ts, final_ts)
+        delta_weighted.unpersist()
+        delta_segments.unpersist()
+
+        delta_stats.write.mode("append").parquet(os.path.join(self.index_dir, "doc_stats"))
+        corpus_df = spark.createDataFrame(
+            [(n_docs_new, total_new, float(avgdl_true))],
+            "n_docs bigint, total_tokens bigint, avgdl double",
+        )
+        corpus_df.write.mode("overwrite").parquet(os.path.join(self.index_dir, "corpus_stats"))
+
+        return self._finalize_manifests(
+            m,
+            n_docs=n_docs_new,
+            total_tokens=total_new,
+            avgdl_true=avgdl_true,
+            avgdl_used=avgdl_used,
+            n_postings=st["n_postings"] + n_postings_delta,
+        )
+
+    @staticmethod
+    def _weighted(raw: DataFrame, doc_stats: DataFrame, avgdl: float) -> DataFrame:
+        return (
+            raw.join(doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id")
+            .withColumn(
+                "wdt_bm25",
+                (F.lit(2.2) * F.col("tf"))
+                / (F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("doc_len") / F.lit(avgdl))) + F.col("tf")),
+            )
+            .withColumn("wdt_tfidf_norm", (F.lit(1.0) + F.log("tf")) / F.col("l2_weight"))
+            .drop("doc_len", "l2_weight")
+        )
+
+    def _finalize_manifests(
+        self, m: dict, n_docs: int, total_tokens: int, avgdl_true: float, avgdl_used: float, n_postings: int
+    ) -> dict:
+        m["compacted_epochs"] = sorted(m["epochs"], key=int)
+        m["compacted"] = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl_used": avgdl_used,
+            "n_postings": n_postings,
+        }
+        self._save(m)
+        builder = IndexBuilder(self.spark, self.index_dir, self.n_partitions)
+        builder._load_manifest()
+        for stage in ("doc_stats", "corpus_stats", "postings", "segments", "term_stats"):
+            builder._mark_stage(stage)
+        builder.manifest["metrics"] = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "n_postings": n_postings,
+            "avgdl": avgdl_true,
+            "avgdl_weights": avgdl_used,
+            "n_epochs": len(m["epochs"]),
+        }
+        builder._save_manifest()
+        return builder.manifest
+
+    def _compact_full(self, m: dict) -> dict:
+        from ..indexing.build import term_stats_with_block_meta
         from ..indexing.logical import corpus_stats_table
         from ..indexing.segments import encode_segments
 
         spark = self.spark
-        m = self._manifest()
-        if not m["epochs"]:
-            raise ValueError("no epochs ingested")
-
         # read ONLY manifest-committed epochs: a partially-written epoch dir
         # whose manifest entry was never recorded (crash between the parquet
         # writes and _save) must not leak docs past the doc_id watermark
@@ -191,14 +369,7 @@ class StreamingIndexer:
 
         raw = spark.read.parquet(*[os.path.join(d, "postings_raw") for d in epoch_dirs])
         weighted = (
-            raw.join(doc_stats.select("doc_id", "doc_len", "l2_weight"), "doc_id")
-            .withColumn(
-                "wdt_bm25",
-                (F.lit(2.2) * F.col("tf"))
-                / (F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("doc_len") / F.lit(avgdl))) + F.col("tf")),
-            )
-            .withColumn("wdt_tfidf_norm", (F.lit(1.0) + F.log("tf")) / F.col("l2_weight"))
-            .drop("doc_len", "l2_weight")
+            self._weighted(raw, doc_stats, avgdl)
             .repartitionByRange(self.n_partitions, "term", "doc_id")
             .sortWithinPartitions("term", "doc_id")
         )
@@ -211,22 +382,14 @@ class StreamingIndexer:
         encode_segments(seg_input).write.mode("overwrite").parquet(
             os.path.join(self.index_dir, "segments")
         )
-        from ..indexing.build import term_stats_with_block_meta
-
         term_stats_with_block_meta(
             postings, spark.read.parquet(os.path.join(self.index_dir, "segments"))
         ).write.mode("overwrite").parquet(os.path.join(self.index_dir, "term_stats"))
-        # standard manifest so SparkIndex tooling sees a complete build
-        builder = IndexBuilder(spark, self.index_dir, self.n_partitions)
-        builder._load_manifest()
-        for stage in ("doc_stats", "corpus_stats", "postings", "segments", "term_stats"):
-            builder._mark_stage(stage)
-        builder.manifest["metrics"] = {
-            "n_docs": int(row["n_docs"]),
-            "total_tokens": int(row["total_tokens"]),
-            "n_postings": postings.count(),
-            "avgdl": avgdl,
-            "n_epochs": len(m["epochs"]),
-        }
-        builder._save_manifest()
-        return builder.manifest
+        return self._finalize_manifests(
+            m,
+            n_docs=int(row["n_docs"]),
+            total_tokens=int(row["total_tokens"]),
+            avgdl_true=avgdl,
+            avgdl_used=avgdl,
+            n_postings=postings.count(),
+        )

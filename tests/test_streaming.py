@@ -89,3 +89,96 @@ def test_compact_ignores_uncommitted_epoch_dirs(tmp_path_factory, spark, turns):
     assert idx.n_docs == committed_docs  # orphan epoch not merged
     max_doc = idx.doc_stats.agg({"doc_id": "max"}).collect()[0][0]
     assert max_doc < committed_docs
+
+
+def _mk_turns(spark, conv_start, n_convs, words_per_turn=6, tag=""):
+    """Deterministic transcript frame: every turn has the same token count,
+    so avgdl is invariant across epochs (drift = 0)."""
+    import datetime
+
+    from searchengine_spark.data import spark_schema
+
+    rows = []
+    for c in range(conv_start, conv_start + n_convs):
+        for t in range(3):
+            text = " ".join(f"tok{(c * 7 + t * 3 + w) % 23}" for w in range(words_per_turn))
+            rows.append(
+                (f"conv{c:05d}", t, "user", text, "", datetime.datetime(2026, 1, 1))
+            )
+    return spark.createDataFrame(rows, schema=spark_schema())
+
+
+def _part_files(path):
+    return {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+
+
+def test_incremental_compact_touches_only_delta(tmp_path_factory, spark):
+    """Round-4: compact() after a small epoch appends O(delta) files — the
+    existing postings/segments part files are byte-for-byte untouched — and
+    the result is identical to a full rebuild over all turns (avgdl is
+    engineered invariant, so the pinned-weight path is exact)."""
+    from searchengine_spark.indexing import SparkIndex, build_index, prepare_transcripts
+    from searchengine_spark.querying.ranked import ranked_search
+    from searchengine_spark.streaming import StreamingIndexer
+
+    out = str(tmp_path_factory.mktemp("incr_index"))
+    indexer = StreamingIndexer(spark, out, n_partitions=4)
+    indexer.process_batch(_mk_turns(spark, 0, 40), epoch_id=0)
+    indexer.compact()
+
+    postings_dir = os.path.join(out, "postings")
+    segments_dir = os.path.join(out, "segments")
+    before_postings = _part_files(postings_dir)
+    before_segments = _part_files(segments_dir)
+
+    indexer.process_batch(_mk_turns(spark, 40, 5), epoch_id=1)
+    m = indexer.compact()  # incremental: avgdl unchanged
+    assert m["metrics"]["avgdl_weights"] == m["metrics"]["avgdl"]
+
+    after_postings = _part_files(postings_dir)
+    after_segments = _part_files(segments_dir)
+    for f, mtime in before_postings.items():
+        assert after_postings.get(f) == mtime, f"old postings file rewritten: {f}"
+    for f, mtime in before_segments.items():
+        assert after_segments.get(f) == mtime, f"old segments file rewritten: {f}"
+    assert len(after_postings) > len(before_postings)  # delta appended
+
+    # equivalence to a full batch rebuild over the same 45 conversations
+    batch_out = str(tmp_path_factory.mktemp("incr_batch"))
+    all_turns = _mk_turns(spark, 0, 45)
+    build_index(spark, prepare_transcripts(all_turns), batch_out)
+    streamed, batch = SparkIndex(spark, out), SparkIndex(spark, batch_out)
+    assert streamed.n_docs == batch.n_docs
+    assert streamed.total_tokens == batch.total_tokens
+    for query in ("tok1 tok5 tok9", "tok20 tok3"):
+        a = [(r["doc_id"], round(r["score"], 9)) for r in ranked_search(streamed, query, k=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in ranked_search(batch, query, k=10).collect()]
+        assert a == b, query
+    # merged dictionary == batch dictionary (semantic columns)
+    s = {tuple(r) for r in spark.read.parquet(os.path.join(out, "term_stats")).select("term", "df", "cf").collect()}
+    b = {tuple(r) for r in spark.read.parquet(os.path.join(batch_out, "term_stats")).select("term", "df", "cf").collect()}
+    assert s == b
+
+
+def test_incremental_compact_falls_back_on_avgdl_drift(tmp_path_factory, spark):
+    """An epoch that moves avgdl beyond the tolerance triggers a full
+    recompaction with the fresh avgdl (weights exact again)."""
+    from searchengine_spark.streaming import StreamingIndexer
+
+    out = str(tmp_path_factory.mktemp("drift_index"))
+    indexer = StreamingIndexer(spark, out, n_partitions=4)
+    indexer.process_batch(_mk_turns(spark, 0, 10, words_per_turn=4), epoch_id=0)
+    indexer.compact()
+    postings_dir = os.path.join(out, "postings")
+    before = _part_files(postings_dir)
+
+    # 3x longer docs: avgdl moves far beyond 5%
+    indexer.process_batch(_mk_turns(spark, 10, 10, words_per_turn=12), epoch_id=1)
+    m = indexer.compact(avgdl_tolerance=0.05)
+    assert m["metrics"]["avgdl_weights"] == m["metrics"]["avgdl"]  # full rebuild
+    after = _part_files(postings_dir)
+    assert set(after) != set(before)  # rewritten, not appended
