@@ -222,6 +222,16 @@ def release_docid_cache_of(df: DataFrame) -> bool:
     return True
 
 
+# One doc-side (ranged/docs/types cache) partition ≈ this many docs.  The
+# ranged layout feeds EVERY doc-side pass of the build — tokenize+cache
+# write, the zero-shuffle stats kernel, the postings map side — so
+# width-sized partitions (8 at widths 1-8) ran those phases in 2 coarse
+# waves at width 4 with a straggler tail: measured 2.8-3.0x phase speedups
+# 1→4 where the token-balanced 16-partition segments phase hit 3.5x.
+# Data-sizing is round 3's reduce-side fix applied to the map side.
+DOCS_PER_DOC_PARTITION = 24_000
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
@@ -251,7 +261,14 @@ def assign_doc_ids(
     """
     spark = df.sparkSession
     if n_partitions is None:
-        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # data-sized with the session width as floor (see
+        # DOCS_PER_DOC_PARTITION).  The count is one cheap metadata-leaning
+        # job over the source; its total is reused as the _n_docs hint.
+        n_rows = df.count()
+        n_partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            -(-n_rows // DOCS_PER_DOC_PARTITION) if n_rows else 1,
+        )
     ranged = (
         df.repartitionByRange(n_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -340,6 +357,75 @@ def term_stats_with_block_meta(postings_df: DataFrame, segments_df: DataFrame) -
 VOCAB_ENCODE_MAX = 1_500_000
 
 DOC_STATS_SMALL_SCHEMA = "doc_id long, doc_len long, l2_weight double"
+
+
+def _postings_kernel_packed(avgdl: float, weights_bc, id2term_bc, d_bits: int, p_bits: int):
+    """Packed-long variant of _postings_kernel: input partitions sorted by a
+    single ``packed`` int64 = term_id << (d_bits+p_bits) | doc_id << p_bits
+    | position.  Sorting the long IS sorting (term_id, doc_id, position)
+    (non-negative bit-concatenation in key order), so the external sort
+    compares 8-byte ints and the shuffle rows shrink to one field — the
+    width-4/8 levels are memory-stall-bound, and sorted bytes convert
+    directly into scaling headroom.  Group detection is one vectorized
+    compare on packed >> p_bits (the (term, doc) prefix)."""
+
+    def fn(iterator):
+        import numpy as np
+        import pandas as pd
+
+        dl_arr, l2_arr = weights_bc.value
+        id2term = id2term_bc.value
+        pmask = (1 << p_bits) - 1
+        dmask = (1 << d_bits) - 1
+
+        def process(packed):
+            n = len(packed)
+            group = packed >> p_bits
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = group[1:] != group[:-1]
+            starts = np.flatnonzero(change)
+            tf = np.diff(np.append(starts, n)).astype(np.int64)
+            gkey = group[starts]
+            doc = gkey & dmask
+            tid = gkey >> d_bits
+            pos = packed & pmask
+            dl = dl_arr[doc]
+            l2 = l2_arr[doc]
+            tf_f = tf.astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "term": id2term[tid],
+                    "doc_id": doc,
+                    "tf": tf,
+                    "positions": np.split(pos, starts[1:]),
+                    "wdt_bm25": ((BM25_K1 + 1.0) * tf_f)
+                    / (BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)) + tf_f),
+                    "wdt_tfidf_norm": (1.0 + np.log(tf_f)) / l2,
+                }
+            )
+
+        carry = None
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            packed = pdf["packed"].to_numpy(dtype=np.int64)
+            if carry is not None:
+                packed = np.concatenate([carry, packed])
+                carry = None
+            last_group = packed[-1] >> p_bits
+            # rows of the trailing (term, doc) group may continue in the next
+            # batch: hold them back (same streaming-carry contract as
+            # _postings_kernel — O(batch + largest group) memory)
+            group = packed >> p_bits
+            split_at = int(np.searchsorted(group, last_group, side="left"))
+            carry = packed[split_at:]
+            if split_at:
+                yield process(packed[:split_at])
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return fn
 
 
 def _murmur3_hash_int(value: int, seed: int = 42) -> int:
@@ -454,6 +540,7 @@ def _encoded_routed_tokens(
     base_part,
     ksplit,
     vmap,
+    pack_bits: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(doc_id, position, type) -> (term_id, doc_id, position, _route)
     entirely JVM-side: a broadcast hash join against the (type -> term_id,
@@ -483,14 +570,25 @@ def _encoded_routed_tokens(
         {"part": range(len(vmap)), "_route": vmap.astype("int32")}
     )
     route_df = spark.createDataFrame(route_pdf, "part int, _route int")
-    return (
+    routed = (
         types.join(F.broadcast(map_df), "type")
         .withColumn(
             "part", (F.col("base") + F.pmod(F.col("doc_id"), F.col("ksplit"))).cast("int")
         )
         .join(F.broadcast(route_df), "part")
-        .select("term_id", "doc_id", "position", "_route")
     )
+    if pack_bits is None:
+        return routed.select("term_id", "doc_id", "position", "_route")
+    # single-long key: term_id << (d+p) | doc_id << p | position — the
+    # shuffle then carries 2 fields and the sort compares one int64
+    # (see _postings_kernel_packed)
+    d_bits, p_bits = pack_bits
+    packed = (
+        F.shiftleft(F.col("term_id").cast("long"), d_bits + p_bits)
+        .bitwiseOR(F.shiftleft(F.col("doc_id"), p_bits))
+        .bitwiseOR(F.col("position").cast("long"))
+    )
+    return routed.select(packed.alias("packed"), "_route")
 
 
 def _doc_stats_types_kernel(vocab_bc):
@@ -1116,19 +1214,17 @@ class IndexBuilder:
         # (An earlier shape ran approx_count_distinct first as the guard:
         # a full extra pass over the token stream per build, ~8 s/900k
         # turns at width 8, pure fixed cost.)
-        vocab_rows = (
+        vocab_pdf = (
             types.groupBy("type")
             .agg(F.count("*").alias("c"))
             .limit(VOCAB_ENCODE_MAX + 1)
-            .collect()
+            .toPandas()  # Arrow transfer — Row conversion is slow at 10^6 types
         )
-        if len(vocab_rows) > VOCAB_ENCODE_MAX:
+        if len(vocab_pdf) > VOCAB_ENCODE_MAX:
             types.unpersist()
             return self._build(docs, resume=resume)
-        types_list = [r["type"] for r in vocab_rows]
-        type_counts = np.fromiter(
-            (r["c"] for r in vocab_rows), dtype=np.int64, count=len(vocab_rows)
-        )
+        types_list = vocab_pdf["type"].tolist()
+        type_counts = vocab_pdf["c"].to_numpy(dtype=np.int64)
         tid_for_type, id2term, empty_tid = _vocab_id_maps(types_list)
         vocab_bc = spark.sparkContext.broadcast((types_list, tid_for_type))
         id2term_bc = spark.sparkContext.broadcast(id2term)
@@ -1229,7 +1325,14 @@ class IndexBuilder:
         )
         postings_cache = None
         if not self._stage_done("postings") or not resume:
-            set_desc("phase:postings — planned int-id shuffle + kernel + parquet write")
+            set_desc("phase:postings — planned packed-long shuffle + kernel + parquet write")
+            # bit budget for the single-long key; always fits under the
+            # encode-path cutoffs (21 + 23 + p ≤ 63), guarded anyway
+            max_dl = int(stats_pdf["doc_len"].max()) if len(stats_pdf) else 0
+            t_bits = max(1, (len(id2term)).bit_length())
+            d_bits = max(1, int(arr_size).bit_length())
+            p_bits = max(1, int(max_dl + 1).bit_length())
+            pack_bits = (d_bits, p_bits) if t_bits + d_bits + p_bits <= 63 else None
             enc = _encoded_routed_tokens(
                 spark,
                 types,
@@ -1239,15 +1342,25 @@ class IndexBuilder:
                 base_part,
                 ksplit,
                 _invert_partition_hash(postings_partitions),
+                pack_bits=pack_bits,
             )
-            enriched = (
-                enc.repartition(postings_partitions, F.col("_route"))
-                .select("term_id", "doc_id", "position")
-                .sortWithinPartitions("term_id", "doc_id", "position")
-            )
-            postings_cache = enriched.mapInPandas(
-                _postings_kernel(avgdl, weights_bc, id2term_bc), schema=POSTINGS_SCHEMA
-            ).persist()
+            if pack_bits is not None:
+                enriched = (
+                    enc.repartition(postings_partitions, F.col("_route"))
+                    .select("packed")
+                    .sortWithinPartitions("packed")
+                )
+                kernel = _postings_kernel_packed(
+                    avgdl, weights_bc, id2term_bc, d_bits, p_bits
+                )
+            else:
+                enriched = (
+                    enc.repartition(postings_partitions, F.col("_route"))
+                    .select("term_id", "doc_id", "position")
+                    .sortWithinPartitions("term_id", "doc_id", "position")
+                )
+                kernel = _postings_kernel(avgdl, weights_bc, id2term_bc)
+            postings_cache = enriched.mapInPandas(kernel, schema=POSTINGS_SCHEMA).persist()
             _write(postings_cache, os.path.join(out, "postings"))
             self._mark_stage("postings")
             lap("postings")

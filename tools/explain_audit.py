@@ -143,6 +143,59 @@ def _audit(stderr_file, orig_fd) -> None:
         )
     )
 
+    # 6c: the encoded build's routed token shuffle — map side must be pure
+    # JVM (tokenize kernel + two broadcast hash joins, NO ArrowEvalPython /
+    # second MapInPandas before the exchange), exactly ONE exchange, and the
+    # planned partition count must be honored (REPARTITION_BY_NUM)
+    import numpy as np
+
+    from searchengine_spark.indexing.build import (
+        _encoded_routed_tokens,
+        _invert_partition_hash,
+        _plan_term_routes,
+        _vocab_id_maps,
+    )
+    from searchengine_spark.text.spark_tokenize import _types_kernel
+
+    bd = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 7} gamma the the") for i in range(300)],
+        "doc_id long, text string",
+    )
+    types = bd.select("doc_id", "text").mapInPandas(
+        _types_kernel("text", "doc_id"), schema="doc_id long, position int, type string"
+    )
+    vr = types.groupBy("type").agg(F.count("*").alias("c")).collect()
+    tlist = [r["type"] for r in vr]
+    tid, _id2term, empty = _vocab_id_maps(tlist)
+    tt = np.zeros(len(_id2term), np.int64)
+    np.add.at(tt, tid.astype(np.int64), np.array([r["c"] for r in vr], np.int64))
+    base, ks, P = _plan_term_routes(tt, max(1, int(tt.sum()) // 8))
+    routed = (
+        _encoded_routed_tokens(
+            spark, types, tlist, tid, empty, base, ks, _invert_partition_hash(P),
+            pack_bits=(23, 12),
+        )
+        .repartition(P, F.col("_route"))
+        .select("packed")
+        .sortWithinPartitions("packed")
+    )
+    p6c = routed._jdf.queryExecution().executedPlan().toString()
+    sections.append(("Routed encoded token shuffle (build map side)", p6c))
+    checks.append(
+        (
+            "encoded build map side is JVM-only",
+            p6c.count("MapInPandas") == 1 and "ArrowEvalPython" not in p6c,
+            f"MapInPandas x{p6c.count('MapInPandas')} (tokenize only), no ArrowEvalPython",
+        )
+    )
+    checks.append(
+        (
+            "one planned exchange, no sampling range partitioner",
+            p6c.count("Exchange hashpartitioning") == 1 and "rangepartitioning" not in p6c,
+            f"Exchange hashpartitioning(_route, {P}) x1",
+        )
+    )
+
     # 7: WAND result is lazy (plan exists pre-collect) and its scoring path
     # contains no forced broadcast of an unbounded candidate set
     from searchengine_spark.querying.wand import ranked_search_wand
