@@ -428,6 +428,97 @@ def _postings_kernel_packed(avgdl: float, weights_bc, id2term_bc, d_bits: int, p
     return fn
 
 
+def _segments_kernel_packed(avgdl: float, weights_bc, id2term_bc, d_bits: int, p_bits: int):
+    """Block-max segment encoder over the SAME sorted packed-long partitions
+    the postings kernel consumes (see _postings_kernel_packed for the key
+    layout).  Replacing the old route — persist the wide postings output
+    (term strings + position object arrays, ~40+ bytes/posting through the
+    Arrow boundary) and pandas-groupby it per term — with a second pass over
+    the persisted 8-byte/token packed column: group detection and weights
+    are the same vectorized shift/compare ops, positions are already a flat
+    contiguous array (no np.concatenate of object cells), and only the
+    varbyte encode itself remains per-block Python.  Measured: the segments
+    phase was the worst 1→4-core scaler (2.03x) because of cache/bandwidth
+    pressure from the wide persisted postings; the packed persist is ~5x
+    smaller.
+
+    The whole partition is buffered before encoding (one planned partition
+    ≈ DOCS_PER_POSTINGS_PARTITION docs of 8-byte tokens, tens of MB) so
+    block boundaries are deterministic — identical to encoding the partition
+    in one pdf batch, matching segments._encode_partition semantics
+    (reference postings.bin layout: engine/indexing/spimi.py:145-187)."""
+
+    def fn(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from searchengine_spark.indexing.codec import encode_block
+        from searchengine_spark.indexing.segments import BLOCK_SIZE
+
+        dl_arr, l2_arr = weights_bc.value
+        id2term = id2term_bc.value
+        pmask = (1 << p_bits) - 1
+        dmask = (1 << d_bits) - 1
+
+        chunks = [pdf["packed"].to_numpy(dtype=np.int64) for pdf in iterator if len(pdf)]
+        if not chunks:
+            return
+        packed = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        del chunks
+        n = len(packed)
+        group = packed >> p_bits
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = group[1:] != group[:-1]
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, n))
+        gkey = group[starts]
+        doc = (gkey & dmask).astype(np.uint64)
+        tid = gkey >> d_bits
+        flat_pos = (packed & pmask).astype(np.uint64)
+        del packed, group, change
+        # per-posting weights — same expressions/order as the postings
+        # kernel, so block maxima match the postings values bit-for-bit
+        dl = dl_arr[doc.astype(np.int64)]
+        l2 = l2_arr[doc.astype(np.int64)]
+        tf_f = tf.astype(np.float64)
+        w_bm = ((BM25_K1 + 1.0) * tf_f) / (
+            BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)) + tf_f
+        )
+        w_ti = (1.0 + np.log(tf_f)) / l2
+        tfs = tf.astype(np.uint64)
+        pos_off = np.concatenate(([0], np.cumsum(tf))).astype(np.int64)
+        # term runs over the postings arrays
+        tchange = np.empty(len(tid), dtype=bool)
+        tchange[0] = True
+        tchange[1:] = tid[1:] != tid[:-1]
+        tstarts = np.flatnonzero(tchange)
+        tends = np.append(tstarts[1:], len(tid))
+        run_terms = id2term[tid[tstarts]]
+
+        out = {k: [] for k in (
+            "term", "n_postings", "doc_id_min", "doc_id_max",
+            "max_wdt_bm25", "max_wdt_tfidf_norm", "postings_bin",
+        )}
+        for ti in range(len(tstarts)):
+            s0, e0 = int(tstarts[ti]), int(tends[ti])
+            term = run_terms[ti]
+            for s in range(s0, e0, BLOCK_SIZE):
+                e = min(s + BLOCK_SIZE, e0)
+                out["term"].append(term)
+                out["n_postings"].append(e - s)
+                out["doc_id_min"].append(int(doc[s]))
+                out["doc_id_max"].append(int(doc[e - 1]))
+                out["max_wdt_bm25"].append(float(w_bm[s:e].max()))
+                out["max_wdt_tfidf_norm"].append(float(w_ti[s:e].max()))
+                out["postings_bin"].append(
+                    encode_block(doc[s:e], tfs[s:e], flat_pos[pos_off[s] : pos_off[e]])
+                )
+        yield pd.DataFrame(out)
+
+    return fn
+
+
 def _murmur3_hash_int(value: int, seed: int = 42) -> int:
     """Spark-compatible Murmur3_x86_32.hashInt (the hash behind
     HashPartitioning / F.hash for IntegerType, seed 42) — public MurmurHash3
@@ -1051,33 +1142,43 @@ class IndexBuilder:
         set_desc,
         resume,
         types_cache=None,
+        packed_cache=None,
+        seg_kernel=None,
     ) -> dict:
         """Shared build tail: segments, dictionary, metrics, cache release —
         identical for the string-shuffle and dictionary-encoded paths (both
-        hand over a sorted-by-(term, doc_id) postings cache/artifact)."""
+        hand over a sorted-by-(term, doc_id) postings cache/artifact; the
+        packed path hands the compact packed-long cache instead)."""
         spark = self.spark
         out = self.out_dir
         postings_df = spark.read.parquet(os.path.join(out, "postings"))
 
         # S5/B4: compressed block-max segments (delta+varbyte blobs; the
         # reference's postings.bin, spimi.py:145-187, plus the varbyte the
-        # north rule adds) — encoded from the cached sorted postings when the
-        # stage runs in the same build, else from a re-sorted read-back.
+        # north rule adds) — encoded from the cached sorted packed longs
+        # (encoded path) or postings rows when the stage runs in the same
+        # build, else from a re-sorted read-back.
         if not self._stage_done("segments") or not resume:
-            from .segments import encode_segments
+            from .segments import SEGMENT_SCHEMA, encode_segments
 
             set_desc("phase:segments — varbyte block encode + write")
-            if postings_cache is not None:
-                seg_input = postings_cache
+            if packed_cache is not None:
+                seg_df = packed_cache.mapInPandas(seg_kernel, schema=SEGMENT_SCHEMA)
+            elif postings_cache is not None:
+                seg_df = encode_segments(postings_cache)
             else:
-                seg_input = postings_df.repartitionByRange(
-                    postings_partitions, "term", "doc_id"
-                ).sortWithinPartitions("term", "doc_id")
-            _write(encode_segments(seg_input), os.path.join(out, "segments"))
+                seg_df = encode_segments(
+                    postings_df.repartitionByRange(
+                        postings_partitions, "term", "doc_id"
+                    ).sortWithinPartitions("term", "doc_id")
+                )
+            _write(seg_df, os.path.join(out, "segments"))
             self._mark_stage("segments")
             lap("segments")
         if postings_cache is not None:
             postings_cache.unpersist()
+        if packed_cache is not None:
+            packed_cache.unpersist()
         if weights_bc is not None:
             # postings + segments both materialized above; free the worker-side
             # weight arrays (they would otherwise pin ~16 bytes/doc per worker
@@ -1324,6 +1425,8 @@ class IndexBuilder:
             term_tokens, target_tokens
         )
         postings_cache = None
+        packed_cache = None
+        seg_kernel = None
         if not self._stage_done("postings") or not resume:
             set_desc("phase:postings — planned packed-long shuffle + kernel + parquet write")
             # bit budget for the single-long key; always fits under the
@@ -1345,12 +1448,25 @@ class IndexBuilder:
                 pack_bits=pack_bits,
             )
             if pack_bits is not None:
-                enriched = (
+                # persist the 8-byte/token packed column, NOT the wide
+                # postings output: both the postings write and the segments
+                # encode re-derive their rows from it with vectorized
+                # shift/compare kernels.  The wide persist (term strings +
+                # position arrays) was the segments phase's scaling killer.
+                packed_cache = (
                     enc.repartition(postings_partitions, F.col("_route"))
                     .select("packed")
                     .sortWithinPartitions("packed")
+                    .persist()
                 )
                 kernel = _postings_kernel_packed(
+                    avgdl, weights_bc, id2term_bc, d_bits, p_bits
+                )
+                _write(
+                    packed_cache.mapInPandas(kernel, schema=POSTINGS_SCHEMA),
+                    os.path.join(out, "postings"),
+                )
+                seg_kernel = _segments_kernel_packed(
                     avgdl, weights_bc, id2term_bc, d_bits, p_bits
                 )
             else:
@@ -1360,8 +1476,8 @@ class IndexBuilder:
                     .sortWithinPartitions("term_id", "doc_id", "position")
                 )
                 kernel = _postings_kernel(avgdl, weights_bc, id2term_bc)
-            postings_cache = enriched.mapInPandas(kernel, schema=POSTINGS_SCHEMA).persist()
-            _write(postings_cache, os.path.join(out, "postings"))
+                postings_cache = enriched.mapInPandas(kernel, schema=POSTINGS_SCHEMA).persist()
+                _write(postings_cache, os.path.join(out, "postings"))
             self._mark_stage("postings")
             lap("postings")
 
@@ -1387,6 +1503,8 @@ class IndexBuilder:
             set_desc=set_desc,
             resume=resume,
             types_cache=types,
+            packed_cache=packed_cache,
+            seg_kernel=seg_kernel,
         )
 
 

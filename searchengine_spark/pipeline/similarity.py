@@ -24,7 +24,13 @@ def _spread(df: DataFrame) -> DataFrame:
     Arrow kernels use every core.  At 100 TB the input is already
     many-partitioned and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # JVM-side partition count: avoids df.rdd's javaToPython conversion,
+        # which rebuilds the plan with a Python-serializer stage per call
+        n_parts = df._jdf.rdd().getNumPartitions()
+    except Exception:
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 
