@@ -134,6 +134,15 @@ def test_postings_kernel_streams_across_arrow_batches(spark, tmp_path):
     }
     eng.unpersist()
     assert got == want
+    # the segments kernel concatenates the tiny batches before cutting
+    # blocks: decoded blobs must still equal the postings exactly
+    from searchengine_spark.indexing.segments import decode_segments
+
+    seg = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in decode_segments(idx.segments).collect()
+    }
+    assert seg == want
 
 
 def test_matches_not_with_tokenless_docs(spark, tmp_path):
