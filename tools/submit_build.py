@@ -29,11 +29,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="transcripts parquet/iceberg path")
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="transcripts parquet path, or iceberg:<catalog.db.table>",
+    )
     ap.add_argument("--output", required=True, help="index output directory")
     ap.add_argument("--partitions", type=int, default=None, help="shuffle/range partitions")
     ap.add_argument("--resume", action="store_true", help="resume from checkpointed stages")
-    ap.add_argument("--format", default="parquet", help="input format (parquet|iceberg)")
+    ap.add_argument(
+        "--snapshot-id",
+        type=int,
+        default=None,
+        help="pin an Iceberg snapshot (resumable builds re-read the same immutable file set)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,7 +61,9 @@ def main() -> None:
         spark = active
         ensure_package_on_workers(spark)
 
-    transcripts = spark.read.format(args.format).load(args.input)
+    from searchengine_spark.sources.iceberg import read_transcripts
+
+    transcripts = read_transcripts(spark, args.input, snapshot_id=args.snapshot_id)
     docs = prepare_transcripts(transcripts)
     manifest = build_index(spark, docs, args.output, n_partitions=args.partitions, resume=args.resume)
     print(json.dumps(manifest["metrics"], indent=2))
