@@ -210,6 +210,15 @@ def _run() -> dict:
         "sf": SF,
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
     }
+    # Scaling evidence (north rule: >=0.8 efficiency N->4N) is measured by
+    # the long-form gated protocol (tools/scaling_bench.py, ~1h of pinned
+    # interleaved reps) — far too heavy to rerun inside this per-round
+    # bench.  Its distilled result is committed as SCALING.json; surface it
+    # here so the driver-recorded BENCH_r{N}.json carries the headline.
+    scaling_path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            out["scaling"] = json.load(fh)
     shutil.rmtree(idx_dir, ignore_errors=True)
     spark.stop()
     return out

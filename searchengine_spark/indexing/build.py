@@ -312,27 +312,59 @@ def assign_doc_ids(
     return out
 
 
-def term_stats_with_block_meta(postings_df: DataFrame, segments_df: DataFrame) -> DataFrame:
+def term_stats_with_block_meta(segments_df: DataFrame, postings_df: DataFrame | None = None) -> DataFrame:
     """B7 dictionary + per-term block-max tops (top-32 block maxima, min
     block max, block count, per scoring mode).  WAND's metadata theta and
     its prune-or-fall-through decision then come from the dictionary collect
-    the ranked path already pays — zero extra jobs (querying/wand.py)."""
-    seg_meta = (
-        segments_df.select("term", "max_wdt_bm25", "max_wdt_tfidf_norm")
-        .groupBy("term")
-        .agg(
-            F.slice(F.sort_array(F.collect_list("max_wdt_bm25"), asc=False), 1, 32).alias(
-                "top_block_max_bm25"
-            ),
-            F.min("max_wdt_bm25").alias("min_block_max_bm25"),
-            F.slice(
-                F.sort_array(F.collect_list("max_wdt_tfidf_norm"), asc=False), 1, 32
-            ).alias("top_block_max_tfidf_norm"),
-            F.min("max_wdt_tfidf_norm").alias("min_block_max_tfidf_norm"),
-            F.count("*").alias("n_blocks"),
+    the ranked path already pays — zero extra jobs (querying/wand.py).
+
+    The whole dictionary — df (Σ block n_postings), cf (Σ block sum_tf),
+    per-term weight maxima (max over block maxima) AND the block meta — is
+    ONE aggregation over segment block rows: ~n_postings/BLOCK_SIZE + n_terms
+    rows instead of the n_postings-row postings table the old formulation
+    re-scanned and joined.  Blocks partition a term's postings exactly (a
+    term split across range partitions still groups correctly), so the sums
+    and maxima are identical by construction; the term_stats gate pins it.
+
+    ``postings_df`` is only consulted for LEGACY segment artifacts written
+    before the per-block sum_tf column existed (a resumed pre-change build
+    whose segments stage completed but term_stats did not)."""
+    if "sum_tf" not in segments_df.columns:
+        if postings_df is None:
+            raise ValueError(
+                "legacy segments lack sum_tf; pass postings_df to derive df/cf"
+            )
+        seg_meta = (
+            segments_df.select("term", "max_wdt_bm25", "max_wdt_tfidf_norm")
+            .groupBy("term")
+            .agg(
+                F.slice(F.sort_array(F.collect_list("max_wdt_bm25"), asc=False), 1, 32).alias(
+                    "top_block_max_bm25"
+                ),
+                F.min("max_wdt_bm25").alias("min_block_max_bm25"),
+                F.slice(
+                    F.sort_array(F.collect_list("max_wdt_tfidf_norm"), asc=False), 1, 32
+                ).alias("top_block_max_tfidf_norm"),
+                F.min("max_wdt_tfidf_norm").alias("min_block_max_tfidf_norm"),
+                F.count("*").alias("n_blocks"),
+            )
         )
+        return term_stats_table(postings_df).join(seg_meta, "term", "left")
+    return segments_df.groupBy("term").agg(
+        F.sum("n_postings").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.max("max_wdt_bm25").alias("max_wdt_bm25"),
+        F.max("max_wdt_tfidf_norm").alias("max_wdt_tfidf_norm"),
+        F.slice(F.sort_array(F.collect_list("max_wdt_bm25"), asc=False), 1, 32).alias(
+            "top_block_max_bm25"
+        ),
+        F.min("max_wdt_bm25").alias("min_block_max_bm25"),
+        F.slice(
+            F.sort_array(F.collect_list("max_wdt_tfidf_norm"), asc=False), 1, 32
+        ).alias("top_block_max_tfidf_norm"),
+        F.min("max_wdt_tfidf_norm").alias("min_block_max_tfidf_norm"),
+        F.count("*").alias("n_blocks"),
     )
-    return term_stats_table(postings_df).join(seg_meta, "term", "left")
 
 
 # --- dictionary-encoded build path -------------------------------------------
@@ -498,7 +530,7 @@ def _segments_kernel_packed(avgdl: float, weights_bc, id2term_bc, d_bits: int, p
 
         out = {k: [] for k in (
             "term", "n_postings", "doc_id_min", "doc_id_max",
-            "max_wdt_bm25", "max_wdt_tfidf_norm", "postings_bin",
+            "max_wdt_bm25", "max_wdt_tfidf_norm", "sum_tf", "postings_bin",
         )}
         for ti in range(len(tstarts)):
             s0, e0 = int(tstarts[ti]), int(tends[ti])
@@ -511,6 +543,7 @@ def _segments_kernel_packed(avgdl: float, weights_bc, id2term_bc, d_bits: int, p
                 out["doc_id_max"].append(int(doc[e - 1]))
                 out["max_wdt_bm25"].append(float(w_bm[s:e].max()))
                 out["max_wdt_tfidf_norm"].append(float(w_ti[s:e].max()))
+                out["sum_tf"].append(int(tfs[s:e].sum()))
                 out["postings_bin"].append(
                     encode_block(doc[s:e], tfs[s:e], flat_pos[pos_off[s] : pos_off[e]])
                 )
@@ -1194,7 +1227,7 @@ class IndexBuilder:
         if not self._stage_done("term_stats") or not resume:
             set_desc("phase:term_stats — dictionary + block-max meta")
             term_stats = term_stats_with_block_meta(
-                postings_df, spark.read.parquet(os.path.join(out, "segments"))
+                spark.read.parquet(os.path.join(out, "segments")), postings_df
             )
             _write(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), os.path.join(out, "term_stats"))
             self._mark_stage("term_stats")

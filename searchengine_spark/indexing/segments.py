@@ -33,6 +33,12 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("doc_id_max", T.LongType()),
         T.StructField("max_wdt_bm25", T.DoubleType()),
         T.StructField("max_wdt_tfidf_norm", T.DoubleType()),
+        # per-block Σtf: lets the dictionary (df, cf, block-max meta) be
+        # aggregated from these ~n_postings/BLOCK_SIZE block rows instead of
+        # re-scanning the full postings table — a width-independent driver
+        # barrier at build time (term_stats phase) that the scaling fit
+        # charged at ~5-7 s/build regardless of corpus or core count
+        T.StructField("sum_tf", T.LongType()),
         T.StructField("postings_bin", T.BinaryType()),
     ]
 )
@@ -56,7 +62,7 @@ def _encode_partition(iterator):
     for pdf in iterator:
         out = {k: [] for k in (
             "term", "n_postings", "doc_id_min", "doc_id_max",
-            "max_wdt_bm25", "max_wdt_tfidf_norm", "postings_bin",
+            "max_wdt_bm25", "max_wdt_tfidf_norm", "sum_tf", "postings_bin",
         )}
         for term, g in pdf.groupby("term", sort=False):
             doc_ids = g["doc_id"].to_numpy(dtype=np.uint64)
@@ -76,6 +82,7 @@ def _encode_partition(iterator):
                 out["doc_id_max"].append(int(doc_ids[e - 1]))
                 out["max_wdt_bm25"].append(float(w_bm[s:e].max()))
                 out["max_wdt_tfidf_norm"].append(float(w_tf[s:e].max()))
+                out["sum_tf"].append(int(tfs[s:e].sum()))
                 out["postings_bin"].append(blob)
         yield pd.DataFrame(out)
 

@@ -279,7 +279,7 @@ class StreamingIndexer:
 
         # vocab-sized merge of the dictionary (not an O(index) re-aggregation)
         old_ts = spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
-        delta_ts = term_stats_with_block_meta(delta_weighted, delta_segments)
+        delta_ts = term_stats_with_block_meta(delta_segments, delta_weighted)
         merged = _merge_term_stats(old_ts, delta_ts)
         tmp_ts = os.path.join(self.index_dir, "term_stats_tmp")
         merged.write.mode("overwrite").parquet(tmp_ts)
@@ -383,7 +383,7 @@ class StreamingIndexer:
             os.path.join(self.index_dir, "segments")
         )
         term_stats_with_block_meta(
-            postings, spark.read.parquet(os.path.join(self.index_dir, "segments"))
+            spark.read.parquet(os.path.join(self.index_dir, "segments")), postings
         ).write.mode("overwrite").parquet(os.path.join(self.index_dir, "term_stats"))
         return self._finalize_manifests(
             m,

@@ -119,3 +119,41 @@ def test_wand_pruning_fires_on_skewed_corpus(spark, tmp_path):
     assert got == want
     assert st["pruned"] is True
     assert 0 < st["blocks_decoded"] < st["blocks_total"]
+
+
+def test_term_stats_from_blocks_matches_postings_scan(spark_index):
+    """The dictionary (df, cf, weight maxima, block meta) aggregated from
+    segment block rows must equal the legacy postings-table formulation —
+    blocks partition each term's postings exactly, even when a term spans
+    range partitions."""
+    from searchengine_spark.indexing.build import term_stats_with_block_meta
+    from searchengine_spark.indexing.logical import term_stats_table
+
+    fast = {
+        r["term"]: (r["df"], r["cf"], round(r["max_wdt_bm25"], 9), r["n_blocks"])
+        for r in term_stats_with_block_meta(spark_index.segments).collect()
+    }
+    slow = {
+        r["term"]: (r["df"], r["cf"], round(r["max_wdt_bm25"], 9))
+        for r in term_stats_table(spark_index.postings).collect()
+    }
+    assert set(fast) == set(slow)
+    for t, (df, cf, mx) in slow.items():
+        assert fast[t][:3] == (df, cf, mx), t
+
+
+def test_term_stats_legacy_segments_fallback(spark_index):
+    """Segments written before the per-block sum_tf column existed must
+    still yield a correct dictionary via the postings-table fallback."""
+    import pytest
+
+    from searchengine_spark.indexing.build import term_stats_with_block_meta
+
+    legacy = spark_index.segments.drop("sum_tf")
+    with pytest.raises(ValueError, match="legacy segments"):
+        term_stats_with_block_meta(legacy)
+    out = term_stats_with_block_meta(legacy, spark_index.postings)
+    new = term_stats_with_block_meta(spark_index.segments)
+    a = {r["term"]: (r["df"], r["cf"], r["n_blocks"]) for r in out.collect()}
+    b = {r["term"]: (r["df"], r["cf"], r["n_blocks"]) for r in new.collect()}
+    assert a == b
