@@ -74,13 +74,19 @@ def test_iceberg_paths_gate_on_capability(spark):
 def test_built_index_from_front_door_matches_direct(spark, transcripts_df, tmp_path):
     """The front door feeds prepare_transcripts unchanged: same docIDs,
     same per-turn text under the stable (conv_id, turn_idx) order."""
-    from searchengine_spark.indexing.build import prepare_transcripts
+    from searchengine_spark.indexing.build import (
+        prepare_transcripts,
+        release_docid_caches,
+    )
 
     path = str(tmp_path / "t3.parquet")
     transcripts_df.write.parquet(path)
-    via_front = prepare_transcripts(read_transcripts(spark, path)).select(
-        "doc_id", "title", "text"
-    )
-    direct = prepare_transcripts(transcripts_df).select("doc_id", "title", "text")
-    assert via_front.exceptAll(direct).count() == 0
-    assert direct.exceptAll(via_front).count() == 0
+    try:
+        via_front = prepare_transcripts(read_transcripts(spark, path)).select(
+            "doc_id", "title", "text"
+        )
+        direct = prepare_transcripts(transcripts_df).select("doc_id", "title", "text")
+        assert via_front.exceptAll(direct).count() == 0
+        assert direct.exceptAll(via_front).count() == 0
+    finally:
+        release_docid_caches()
