@@ -78,11 +78,39 @@ def main() -> None:
         )
         sys.exit(1)
     if result is not None:
-        line = json.dumps(result)
-        # durable fallback: the driver can recover the sample from disk even
-        # if the stdout stream gets mangled
+        # Full sample is durable on disk; the driver can always recover it.
         with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(result) + "\n")
+        # The driver keeps only a ~2 KB tail of stdout (round-4 finding #1:
+        # embedding the full SCALING.json object blew the line past that and
+        # the parse nulled two rounds running).  Emit a COMPACT line — the
+        # per-query timings plus a 3-field scaling summary — as the very
+        # last stdout write.
+        compact = {
+            k: result[k]
+            for k in ("metric", "value", "unit", "queries", "sf", "cpus",
+                      "n_turns", "turns_per_sec", "ranked_bm25_p95")
+            if k in result
+        }
+        scaling = result.get("scaling") or {}
+        if scaling:
+            compact["scaling"] = {
+                "median_pair_efficiency": scaling.get(
+                    "median_pair_efficiency_gate_passed"
+                ),
+                "n_pairs": scaling.get("n_gate_passed_pairs"),
+                "meets_target": scaling.get("meets_target"),
+            }
+        line = json.dumps(compact)
+        if len(line) > 1800:
+            # hard guard: never let the final line outgrow the driver's tail
+            compact["queries"] = {
+                k: v
+                for k, v in sorted(
+                    compact["queries"].items(), key=lambda kv: -kv[1]
+                )[:12]
+            }
+            line = json.dumps(compact)
         print(line, flush=True)
 
 
