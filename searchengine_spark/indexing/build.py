@@ -983,6 +983,12 @@ class IndexBuilder:
             with pinned_build_conf(self.spark):
                 if 0 < n_docs_hint <= BROADCAST_WEIGHTS_MAX_DOCS:
                     return self._build_encoded(docs, int(n_docs_hint), resume=resume)
+                if n_docs_hint > BROADCAST_WEIGHTS_MAX_DOCS:
+                    # over-cutoff corpora keep the packed-int shuffle via the
+                    # fully distributed dictionary (build_dist module)
+                    from .build_dist import build_encoded_dist
+
+                    return build_encoded_dist(self, docs, int(n_docs_hint), resume=resume)
                 return self._build(docs, resume=resume)
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
@@ -1355,8 +1361,13 @@ class IndexBuilder:
             .toPandas()  # Arrow transfer — Row conversion is slow at 10^6 types
         )
         if len(vocab_pdf) > VOCAB_ENCODE_MAX:
+            # over-cutoff vocabulary: the dictionary itself is built
+            # distributively and the packed-int shuffle survives
+            # (build_dist module) instead of reverting to the string plan
+            from .build_dist import build_encoded_dist
+
             types.unpersist()
-            return self._build(docs, resume=resume)
+            return build_encoded_dist(self, docs, n_docs, resume=resume)
         types_list = vocab_pdf["type"].tolist()
         type_counts = vocab_pdf["c"].to_numpy(dtype=np.int64)
         tid_for_type, id2term, empty_tid = _vocab_id_maps(types_list)

@@ -61,15 +61,10 @@ def test_encoded_matches_fallback_artifacts(spark, tricky_docs, tmp_path):
     assert "vocab_collect" in m1["metrics"]["phase_seconds"], "encoded path not taken"
 
     b2 = IndexBuilder(spark, out_str)
-    # force the string fallback by shrinking the vocab cutoff
-    import searchengine_spark.indexing.build as bmod
-
-    orig = bmod.VOCAB_ENCODE_MAX
-    bmod.VOCAB_ENCODE_MAX = 0
-    try:
-        m2 = b2.build(tricky_docs)
-    finally:
-        bmod.VOCAB_ENCODE_MAX = orig
+    # the string path is no longer reachable via the vocab cutoff (that
+    # fallback now routes to the DISTRIBUTED dictionary, test_dist_build) —
+    # drive it directly to keep string-vs-encoded parity pinned
+    m2 = b2._build(tricky_docs)
     assert "vocab_collect" not in m2["metrics"]["phase_seconds"], "fallback not taken"
 
     a1, a2 = _artifacts(spark, out_enc), _artifacts(spark, out_str)
