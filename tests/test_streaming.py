@@ -182,3 +182,95 @@ def test_incremental_compact_falls_back_on_avgdl_drift(tmp_path_factory, spark):
     assert m["metrics"]["avgdl_weights"] == m["metrics"]["avgdl"]  # full rebuild
     after = _part_files(postings_dir)
     assert set(after) != set(before)  # rewritten, not appended
+
+
+def test_tier_merge_bounds_small_files(tmp_path_factory, spark):
+    """Round-5: dozens of ingest+incremental-compact epochs keep every
+    artifact's parquet file count BOUNDED (the LSM-style delta-tier merge,
+    round-4 verdict finding #3) while the merged index stays content- and
+    rank-identical to a full recompaction over the same retained deltas."""
+    import shutil
+
+    import pandas as pd
+
+    from searchengine_spark.indexing import SparkIndex
+    from searchengine_spark.querying.ranked import ranked_search
+    from searchengine_spark.streaming import StreamingIndexer
+
+    out = str(tmp_path_factory.mktemp("merge_index"))
+    threshold = 12
+    indexer = StreamingIndexer(spark, out, n_partitions=4, max_artifact_files=threshold)
+    indexer.process_batch(_mk_turns(spark, 0, 20), epoch_id=0)
+    indexer.compact()  # full compact -> main tier recorded
+
+    main_files = max(
+        len(indexer._list_parquet(a)) for a in indexer._MERGE_ARTIFACTS
+    )
+    bound = max(threshold, main_files) + 3 * 4  # threshold + one compact's appends
+    for e in range(1, 36):
+        indexer.process_batch(_mk_turns(spark, 20 + e * 2, 2), epoch_id=e)
+        indexer.compact()
+        counts = {a: len(indexer._list_parquet(a)) for a in indexer._MERGE_ARTIFACTS}
+        assert max(counts.values()) <= bound, (e, counts)
+    m = indexer._manifest()
+    assert int(m.get("merge_seq", 0)) >= 2, "expected multiple tier merges"
+    assert not m.get("merge_journal")
+
+    # content parity vs a FULL recompaction over the same deltas
+    clone = str(tmp_path_factory.mktemp("merge_full"))
+    shutil.copytree(out, clone, dirs_exist_ok=True)
+    full = StreamingIndexer(spark, clone, n_partitions=4)
+    full._compact_full(full._manifest())
+
+    a, b = SparkIndex(spark, out), SparkIndex(spark, clone)
+    assert a.n_docs == b.n_docs and a.total_tokens == b.total_tokens
+    cols = ["term", "doc_id", "tf", "positions", "wdt_bm25", "wdt_tfidf_norm"]
+    pa = a.postings.select(cols).toPandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+    pb = b.postings.select(cols).toPandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+    pa["positions"] = pa["positions"].map(tuple)
+    pb["positions"] = pb["positions"].map(tuple)
+    pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
+    for q in ("tok1 tok5 tok9", "tok3"):
+        ra = [(r["doc_id"], round(r["score"], 9)) for r in ranked_search(a, q, k=10).collect()]
+        rb = [(r["doc_id"], round(r["score"], 9)) for r in ranked_search(b, q, k=10).collect()]
+        assert ra == rb and ra, q
+
+
+def test_tier_merge_journal_replay_completes_crashed_swap(tmp_path_factory, spark):
+    """A merge that crashes between staging and the file swap leaves a
+    journal; the next compact() replays it to completion (no lost or
+    doubled postings)."""
+    from searchengine_spark.indexing import SparkIndex
+    from searchengine_spark.querying.ranked import ranked_search
+    from searchengine_spark.streaming import StreamingIndexer
+
+    out = str(tmp_path_factory.mktemp("journal_index"))
+    indexer = StreamingIndexer(spark, out, n_partitions=4, max_artifact_files=1)
+    indexer.process_batch(_mk_turns(spark, 0, 10), epoch_id=0)
+    indexer.compact()
+
+    # crash injection: staging + journal write succeed, the swap "crashes"
+    orig_apply = indexer._apply_merge_journal
+    indexer._apply_merge_journal = lambda m: (_ for _ in ()).throw(
+        RuntimeError("simulated crash mid-merge")
+    )
+    indexer.process_batch(_mk_turns(spark, 10, 2), epoch_id=1)
+    try:
+        indexer.compact()
+        raise AssertionError("crash injection did not fire")
+    except RuntimeError:
+        pass
+    assert indexer._manifest().get("merge_journal"), "journal not durable"
+
+    indexer._apply_merge_journal = orig_apply
+    indexer.process_batch(_mk_turns(spark, 12, 2), epoch_id=2)
+    indexer.compact()  # replays the journal first
+    m = indexer._manifest()
+    assert not m.get("merge_journal")
+
+    idx = SparkIndex(spark, out)
+    assert idx.n_docs == (10 + 2 + 2) * 3
+    # no doubled postings: every (term, doc_id) unique
+    n = idx.postings.count()
+    assert idx.postings.select("term", "doc_id").distinct().count() == n
+    assert ranked_search(idx, "tok1 tok5", k=5).count() > 0
