@@ -907,12 +907,45 @@ def _partition_lineage(path: str) -> list[dict]:
 
 
 class IndexBuilder:
-    def __init__(self, spark: SparkSession, out_dir: str, n_partitions: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_partitions: int | None = None,
+        doc_terms_artifact: bool = False,
+        iceberg_prefix: str | None = None,
+    ):
         self.spark = spark
         self.out_dir = out_dir
         self.n_partitions = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.manifest_path = os.path.join(out_dir, "manifest.json")
         self.manifest: dict = {"stages": {}, "metrics": {}}
+        # optional Iceberg artifact sink: with a prefix like "lake.db.idx"
+        # and the Iceberg runtime on the classpath, each artifact stage
+        # commits as an atomic snapshot of table <prefix>_<stage> and the
+        # manifest records the committed snapshot id (resume pins it).
+        # Capability-gated: without the runtime (this sandbox) the builder
+        # falls back to parquet under out_dir and notes the fallback —
+        # the manifest itself always lives at out_dir/manifest.json.
+        self.iceberg_prefix = iceberg_prefix
+        self._stage_sinks = {}
+        self._iceberg_ok = False
+        if iceberg_prefix:
+            from ..sources.iceberg import iceberg_available
+
+            self._iceberg_ok = iceberg_available(spark)
+            if not self._iceberg_ok:
+                self.manifest["iceberg_fallback"] = (
+                    "iceberg_prefix set but runtime/catalog absent; artifacts "
+                    "written as parquet under out_dir"
+                )
+        # opt-in: also write the doc_id -> term-set frame behind matches()
+        # (querying/boolean._doc_terms) as an index artifact, so a FRESH
+        # serving session answers its first matches() query from a parquet
+        # scan instead of paying the full-postings aggregation (round-4
+        # verdict, next item #8).  Off by default: it is a second
+        # postings-sized artifact only matches()-heavy deployments need.
+        self.doc_terms_artifact = doc_terms_artifact
 
     # -- manifest / resume -------------------------------------------------
     def _load_manifest(self) -> None:
@@ -927,15 +960,48 @@ class IndexBuilder:
             json.dump(self.manifest, f, indent=2)
         os.replace(tmp, self.manifest_path)
 
+    def _stage_target(self, name: str) -> str:
+        if self._iceberg_ok:
+            return f"iceberg:{self.iceberg_prefix}_{name}"
+        return os.path.join(self.out_dir, name)
+
+    def _write_stage(self, df: DataFrame, name: str) -> None:
+        """Artifact write through the storage dispatch (parquet dir or
+        Iceberg snapshot commit); the descriptor — including the committed
+        snapshot id — lands in the manifest at _mark_stage."""
+        from ..sources.iceberg import write_artifact
+
+        info = write_artifact(self.spark, df, self._stage_target(name))
+        if info.get("format") == "iceberg":
+            self._stage_sinks[name] = info
+
+    def _read_stage(self, name: str) -> DataFrame:
+        from ..sources.iceberg import read_artifact
+
+        return read_artifact(self.spark, self._stage_target(name))
+
+    _stage_sinks: dict  # name -> iceberg write descriptor (per instance)
+
     def _stage_done(self, name: str) -> bool:
         info = self.manifest["stages"].get(name)
         if not info:
             return False
+        if self._iceberg_ok:
+            # an Iceberg stage is done iff its commit was recorded: the
+            # snapshot id in the manifest IS the durable completion marker
+            # (the write either committed that snapshot atomically or left
+            # the previous one)
+            return info.get("snapshot_id") is not None
         path = os.path.join(self.out_dir, name)
         return os.path.exists(os.path.join(path, "_SUCCESS"))
 
     def _mark_stage(self, name: str, **extra) -> None:
         entry = {"completed_at": time.time(), **extra}
+        sink = getattr(self, "_stage_sinks", {}).get(name)
+        if sink is not None:
+            entry["format"] = "iceberg"
+            entry["table"] = sink.get("table")
+            entry["snapshot_id"] = sink.get("snapshot_id")
         path = os.path.join(self.out_dir, name)
         if os.path.isdir(path):
             lineage = _partition_lineage(path)
@@ -1080,18 +1146,16 @@ class IndexBuilder:
             def write_stats() -> None:
                 try:
                     set_desc("phase:stats-write (background) — doc_stats + corpus_stats parquet")
-                    _write(stats_cache, os.path.join(out, "doc_stats"))
-                    _write(
-                        corpus_stats_table(stats_cache), os.path.join(out, "corpus_stats")
-                    )
+                    self._write_stage(stats_cache, "doc_stats")
+                    self._write_stage(corpus_stats_table(stats_cache), "corpus_stats")
                 except BaseException as e:  # surfaced after join()
                     writer_err.append(e)
 
             writer = threading.Thread(target=write_stats, daemon=True)
             writer.start()
         else:
-            doc_stats = spark.read.parquet(os.path.join(out, "doc_stats"))
-            stats_row = spark.read.parquet(os.path.join(out, "corpus_stats")).collect()[0]
+            doc_stats = self._read_stage("doc_stats")
+            stats_row = self._read_stage("corpus_stats").collect()[0]
 
         avgdl = float(stats_row["avgdl"])
         n_docs = int(stats_row["n_docs"])
@@ -1137,7 +1201,7 @@ class IndexBuilder:
             postings_cache = enriched.mapInPandas(
                 _postings_kernel(avgdl, weights_bc), schema=POSTINGS_SCHEMA
             ).persist()
-            _write(postings_cache, os.path.join(out, "postings"))
+            self._write_stage(postings_cache, "postings")
             self._mark_stage("postings")
             lap("postings")
 
@@ -1190,7 +1254,7 @@ class IndexBuilder:
         packed path hands the compact packed-long cache instead)."""
         spark = self.spark
         out = self.out_dir
-        postings_df = spark.read.parquet(os.path.join(out, "postings"))
+        postings_df = self._read_stage("postings")
 
         # S5/B4: compressed block-max segments (delta+varbyte blobs; the
         # reference's postings.bin, spimi.py:145-187, plus the varbyte the
@@ -1211,7 +1275,7 @@ class IndexBuilder:
                         postings_partitions, "term", "doc_id"
                     ).sortWithinPartitions("term", "doc_id")
                 )
-            _write(seg_df, os.path.join(out, "segments"))
+            self._write_stage(seg_df, "segments")
             self._mark_stage("segments")
             lap("segments")
         if postings_cache is not None:
@@ -1233,11 +1297,32 @@ class IndexBuilder:
         if not self._stage_done("term_stats") or not resume:
             set_desc("phase:term_stats — dictionary + block-max meta")
             term_stats = term_stats_with_block_meta(
-                spark.read.parquet(os.path.join(out, "segments")), postings_df
+                self._read_stage("segments"), postings_df
             )
-            _write(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), os.path.join(out, "term_stats"))
+            self._write_stage(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), "term_stats")
             self._mark_stage("term_stats")
             lap("term_stats")
+
+        if self.doc_terms_artifact and (not self._stage_done("doc_terms") or not resume):
+            set_desc("phase:doc_terms — matches() doc->term-set artifact (opt-in)")
+            doc_terms = (
+                self._read_stage("doc_stats")
+                .select("doc_id")
+                .join(
+                    postings_df.groupBy("doc_id").agg(
+                        F.collect_set("term").alias("_terms")
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .withColumn(
+                    "_terms",
+                    F.coalesce(F.col("_terms"), F.array().cast("array<string>")),
+                )
+            )
+            self._write_stage(doc_terms, "doc_terms")
+            self._mark_stage("doc_terms")
+            lap("doc_terms")
 
         # build metrics (north rule: postings/sec, skew ratio, lineage).
         # n_postings comes from the per-partition lineage (parquet footers)
@@ -1251,12 +1336,12 @@ class IndexBuilder:
             sum(p["rows"] for p in lineage) if lineage else postings_df.count()
         )
         df_stats = (
-            spark.read.parquet(os.path.join(out, "term_stats"))
+            self._read_stage("term_stats")
             .agg(F.max("df").alias("max_df"), F.avg("df").alias("avg_df"))
             .collect()[0]
         )
         seg_stats = (
-            spark.read.parquet(os.path.join(out, "segments"))
+            self._read_stage("segments")
             .agg(
                 F.count("*").alias("n_blocks"),
                 F.sum(F.octet_length("postings_bin")).alias("bytes_compressed"),
@@ -1394,7 +1479,7 @@ class IndexBuilder:
             )
         else:
             stats_pdf = (
-                spark.read.parquet(os.path.join(out, "doc_stats"))
+                self._read_stage("doc_stats")
                 .select("doc_id", "doc_len", "l2_weight")
                 .toPandas()
             )
@@ -1439,12 +1524,12 @@ class IndexBuilder:
                         .join(stats_small_df, "doc_id", "left")
                         .fillna({"doc_len": 0})
                     )
-                    _write(full, os.path.join(out, "doc_stats"))
+                    self._write_stage(full, "doc_stats")
                     corpus_df = spark.createDataFrame(
                         [(n_docs, total_tokens, float(avgdl))],
                         "n_docs bigint, total_tokens bigint, avgdl double",
                     )
-                    _write(corpus_df, os.path.join(out, "corpus_stats"))
+                    self._write_stage(corpus_df, "corpus_stats")
                 except BaseException as e:  # surfaced after join()
                     writer_err.append(e)
 
@@ -1506,9 +1591,9 @@ class IndexBuilder:
                 kernel = _postings_kernel_packed(
                     avgdl, weights_bc, id2term_bc, d_bits, p_bits
                 )
-                _write(
+                self._write_stage(
                     packed_cache.mapInPandas(kernel, schema=POSTINGS_SCHEMA),
-                    os.path.join(out, "postings"),
+                    "postings",
                 )
                 seg_kernel = _segments_kernel_packed(
                     avgdl, weights_bc, id2term_bc, d_bits, p_bits
@@ -1521,7 +1606,7 @@ class IndexBuilder:
                 )
                 kernel = _postings_kernel(avgdl, weights_bc, id2term_bc)
                 postings_cache = enriched.mapInPandas(kernel, schema=POSTINGS_SCHEMA).persist()
-                _write(postings_cache, os.path.join(out, "postings"))
+                self._write_stage(postings_cache, "postings")
             self._mark_stage("postings")
             lap("postings")
 
@@ -1558,8 +1643,11 @@ def build_index(
     out_dir: str,
     n_partitions: int | None = None,
     resume: bool = False,
+    doc_terms_artifact: bool = False,
 ) -> dict:
-    return IndexBuilder(spark, out_dir, n_partitions).build(docs, resume=resume)
+    return IndexBuilder(
+        spark, out_dir, n_partitions, doc_terms_artifact=doc_terms_artifact
+    ).build(docs, resume=resume)
 
 
 def bm25_wqt(n_docs: int, df: int) -> float:

@@ -524,7 +524,7 @@ def build_encoded_dist(builder, docs: DataFrame, n_docs: int, resume: bool = Fal
         )
     else:
         stats_df = (
-            spark.read.parquet(os.path.join(out, "doc_stats"))
+            builder._read_stage("doc_stats")
             .select("doc_id", "doc_len", "l2_weight")
             .filter(F.col("doc_len") > 0)
         )
@@ -554,12 +554,12 @@ def build_encoded_dist(builder, docs: DataFrame, n_docs: int, resume: bool = Fal
                     .join(stats_df, "doc_id", "left")
                     .fillna({"doc_len": 0})
                 )
-                B._write(full, os.path.join(out, "doc_stats"))
+                builder._write_stage(full, "doc_stats")
                 corpus_df = spark.createDataFrame(
                     [(n_docs, total_tokens, float(avgdl))],
                     "n_docs bigint, total_tokens bigint, avgdl double",
                 )
-                B._write(corpus_df, os.path.join(out, "corpus_stats"))
+                builder._write_stage(corpus_df, "corpus_stats")
             except BaseException as e:  # surfaced after join()
                 writer_err.append(e)
 
@@ -710,11 +710,11 @@ def build_encoded_dist(builder, docs: DataFrame, n_docs: int, resume: bool = Fal
             .sortWithinPartitions(*sort_cols)
             .persist()
         )
-        B._write(
+        builder._write_stage(
             routed_cache.mapInPandas(
                 _postings_kernel_dist(avgdl, pack_bits), schema=B.POSTINGS_SCHEMA
             ),
-            os.path.join(out, "postings"),
+            "postings",
         )
         builder._mark_stage("postings")
         # dictionary caches fed the route shuffle's map side — done now

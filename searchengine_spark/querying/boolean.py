@@ -156,12 +156,20 @@ def _doc_terms(index) -> DataFrame:
     """doc_id -> term-set frame behind matches_search, computed ONCE per
     index/engine and persisted (handle cached on the index object).  The
     aggregation is a full postings shuffle — fine to pay once per session,
-    a scale-killer to pay per query; a serving deployment at 10^12 turns
-    would precompute this as an index artifact instead (the matches() path
-    is a scan-side fallback, not the serving path — queries with an index
-    available should use boolean_search)."""
+    a scale-killer to pay per query.  An index built with
+    ``doc_terms_artifact=True`` (IndexBuilder opt-in) carries the frame as
+    a parquet artifact, and a FRESH serving session then answers its first
+    matches() query from a plain scan — no aggregation job at all (the
+    10^12-turn serving shape)."""
+    import os
+
     cached = getattr(index, "_matches_doc_terms", None)
     if cached is None:
+        art = os.path.join(index.index_dir, "doc_terms")
+        if os.path.exists(os.path.join(art, "_SUCCESS")):
+            cached = index.postings.sparkSession.read.parquet(art).persist()
+            index._matches_doc_terms = cached
+            return cached
         cached = (
             index.doc_stats.select("doc_id")
             .join(

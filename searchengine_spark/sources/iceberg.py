@@ -136,3 +136,54 @@ def read_transcripts(
     if snapshot_id is not None or as_of is not None:
         raise ValueError("snapshot_id/as_of require an iceberg: source")
     return validate_transcript_schema(spark.read.parquet(source))
+
+
+# --- write side (index artifacts as Iceberg tables) --------------------------
+
+
+def latest_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    """Most recent committed snapshot of an Iceberg table (its
+    ``.snapshots`` metadata table) — what a resumable build pins in the
+    manifest so every retried stage reads the same immutable commit."""
+    try:
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
+    except Exception:
+        return None
+
+
+def write_artifact(spark: SparkSession, df: DataFrame, target: str) -> dict:
+    """Write one index artifact to ``iceberg:<table>`` (atomic REPLACE —
+    the DSv2 v2 writer commits a single snapshot, so a crashed write leaves
+    the previous snapshot intact and a retry is idempotent: exactly the
+    resume contract the parquet path approximates with _SUCCESS markers)
+    or to a parquet directory (the in-sandbox / non-catalog path).
+
+    Returns a descriptor the build manifest records per stage:
+    ``{"format": "iceberg", "table": ..., "snapshot_id": ...}`` or
+    ``{"format": "parquet", "path": ...}``."""
+    if target.startswith("iceberg:"):
+        table = target[len("iceberg:"):]
+        if not iceberg_available(spark):
+            raise IcebergUnavailable(_SUBMIT_HELP)
+        df.writeTo(table).using("iceberg").createOrReplace()
+        return {
+            "format": "iceberg",
+            "table": table,
+            "snapshot_id": latest_snapshot_id(spark, table),
+        }
+    df.write.mode("overwrite").parquet(target)
+    return {"format": "parquet", "path": target}
+
+
+def read_artifact(spark: SparkSession, target: str) -> DataFrame:
+    """Inverse dispatch of write_artifact (resume/serving reads)."""
+    if target.startswith("iceberg:"):
+        table = target[len("iceberg:"):]
+        if not iceberg_available(spark):
+            raise IcebergUnavailable(_SUBMIT_HELP)
+        return spark.read.format("iceberg").load(table)
+    return spark.read.parquet(target)

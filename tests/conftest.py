@@ -1,6 +1,17 @@
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _drain_docid_caches():
+    """Release any docID caches a test leaked (advisor round-4): without
+    this, one leaky test silently breaks the next test's single-producer
+    drain assumption in IndexBuilder (len(_DOCID_CACHES) == 1)."""
+    yield
+    from searchengine_spark.indexing.build import release_docid_caches
+
+    release_docid_caches()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from searchengine_spark.session import get_spark

@@ -90,3 +90,118 @@ def test_built_index_from_front_door_matches_direct(spark, transcripts_df, tmp_p
         assert direct.exceptAll(via_front).count() == 0
     finally:
         release_docid_caches()
+
+
+# --- write side (round-5: artifacts as Iceberg snapshot commits) -------------
+
+
+def test_write_artifact_parquet_dispatch(spark, transcripts_df, tmp_path):
+    from searchengine_spark.sources.iceberg import read_artifact, write_artifact
+
+    target = str(tmp_path / "wa.parquet")
+    info = write_artifact(spark, transcripts_df.select("conv_id"), target)
+    assert info == {"format": "parquet", "path": target}
+    assert read_artifact(spark, target).count() == transcripts_df.count()
+
+
+def test_write_artifact_iceberg_gates_on_capability(spark, transcripts_df):
+    from searchengine_spark.sources.iceberg import write_artifact
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present; live write covered on-cluster")
+    with pytest.raises(IcebergUnavailable, match="spark-submit"):
+        write_artifact(spark, transcripts_df, "iceberg:lake.db.idx_postings")
+
+
+def test_builder_iceberg_prefix_falls_back_to_parquet_in_sandbox(spark, tmp_path):
+    """iceberg_prefix set + runtime absent: the build completes as parquet
+    and the manifest records the fallback (capability-first contract)."""
+    import os
+
+    from searchengine_spark.indexing.build import IndexBuilder
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i}") for i in range(30)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "ice_fallback")
+    b = IndexBuilder(spark, out, iceberg_prefix="lake.db.idx")
+    m = b.build(docs)
+    assert "iceberg_fallback" in m
+    assert os.path.exists(os.path.join(out, "postings", "_SUCCESS"))
+    assert m["stages"]["postings"].get("snapshot_id") is None
+
+
+def test_builder_iceberg_commits_record_snapshot_ids(spark, tmp_path, monkeypatch):
+    """With the runtime 'present' (probe + writer faked at the dispatch
+    seam — the sandbox has no jar), every artifact stage writes through
+    writeTo(<prefix>_<stage>) semantics and the manifest pins the committed
+    snapshot id, which then drives _stage_done on resume."""
+    import searchengine_spark.indexing.build as bmod
+    import searchengine_spark.sources.iceberg as ice
+
+    from searchengine_spark.indexing.build import IndexBuilder
+
+    committed = {}
+    seq = iter(range(100, 200))
+
+    def fake_available(_spark):
+        return True
+
+    def fake_write(spark_, df, target):
+        if target.startswith("iceberg:"):
+            table = target[len("iceberg:"):]
+            sid = next(seq)
+            committed[table] = {"rows": df.count(), "snapshot_id": sid}
+            return {"format": "iceberg", "table": table, "snapshot_id": sid}
+        df.write.mode("overwrite").parquet(target)
+        return {"format": "parquet", "path": target}
+
+    monkeypatch.setattr(ice, "iceberg_available", fake_available)
+    monkeypatch.setattr(ice, "write_artifact", fake_write)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i}") for i in range(30)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "ice_commit")
+    b = IndexBuilder(spark, out, iceberg_prefix="lake.db.idx")
+    # reads of just-written stages must hit the fake tables; in the fake,
+    # segments/term_stats derive from postings_df read-back — redirect
+    # _read_stage to the committed frames is overkill: the build re-reads
+    # postings/segments/term_stats after writing, so give the fake a real
+    # backing store by ALSO writing parquet alongside
+    real_write = fake_write
+
+    def fake_write_with_backing(spark_, df, target):
+        info = real_write(spark_, df, target)
+        if info["format"] == "iceberg":
+            name = info["table"][len("lake.db.idx_"):]
+            df.write.mode("overwrite").parquet(
+                str(tmp_path / "backing" / name)
+            )
+        return info
+
+    def fake_read(spark_, target):
+        if target.startswith("iceberg:"):
+            name = target[len("iceberg:lake.db.idx_"):]
+            return spark.read.parquet(str(tmp_path / "backing" / name))
+        return spark.read.parquet(target)
+
+    monkeypatch.setattr(ice, "write_artifact", fake_write_with_backing)
+    monkeypatch.setattr(ice, "read_artifact", fake_read)
+
+    m = b.build(docs)
+    assert "iceberg_fallback" not in m
+    for stage in ("doc_stats", "corpus_stats", "postings", "segments", "term_stats"):
+        entry = m["stages"][stage]
+        assert entry["format"] == "iceberg", stage
+        assert entry["table"] == f"lake.db.idx_{stage}"
+        assert isinstance(entry["snapshot_id"], int), stage
+        assert committed[f"lake.db.idx_{stage}"]["rows"] > 0
+
+    # resume: snapshot ids in the manifest are the durable completion
+    # markers, so every stage fast-skips
+    b2 = IndexBuilder(spark, out, iceberg_prefix="lake.db.idx")
+    m2 = b2.build(docs, resume=True)
+    assert "postings" not in m2["metrics"]["phase_seconds"]

@@ -91,12 +91,10 @@ def test_with_titles_passthrough_without_title_column(spark, tmp_path):
 
 
 def test_build_leaves_no_persisted_rdds(spark, tmp_path):
+    # the registry starts empty: conftest's autouse _drain_docid_caches
+    # releases leftovers after every test
     from searchengine_spark.indexing import build_index
-    from searchengine_spark.indexing.build import release_docid_caches
 
-    # start from an empty registry: a leftover cache from another test makes
-    # the build's single-producer drain (len == 1) legitimately skip
-    release_docid_caches()
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     docs = spark.createDataFrame(

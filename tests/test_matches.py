@@ -64,3 +64,36 @@ def test_matches_doc_terms_persisted_and_reused(spark_index):
     )
     assert "InMemoryTableScan" in plan
     assert "mapInPandas" not in plan.lower() or "InMemoryTableScan" in plan
+
+
+def test_doc_terms_build_artifact(spark, tmp_path):
+    """Opt-in doc_terms artifact (round-4 next item #8): an index built with
+    doc_terms_artifact=True answers matches() from a parquet SCAN in a
+    fresh session — no postings aggregation — with identical results to the
+    aggregate-on-first-use path."""
+    import os
+
+    from searchengine_spark.indexing import SparkIndex, build_index
+    from searchengine_spark.querying.boolean import matches_search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i % 5} beta" if i % 7 else "") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "dt_idx")
+    build_index(spark, docs, out, doc_terms_artifact=True)
+    assert os.path.exists(os.path.join(out, "doc_terms", "_SUCCESS"))
+
+    idx = SparkIndex(spark, out)  # fresh handle = fresh serving session
+    got = sorted(r["doc_id"] for r in matches_search(idx, "alpha + tok1").collect())
+    # artifact path taken: the cached frame's plan is a parquet scan of the
+    # artifact, not an aggregation over postings
+    plan = idx._matches_doc_terms._jdf.queryExecution().executedPlan().toString()
+    assert "doc_terms" in plan and "collect_set" not in plan
+
+    out2 = str(tmp_path / "dt_idx_plain")
+    build_index(spark, docs, out2)
+    assert not os.path.exists(os.path.join(out2, "doc_terms"))
+    idx2 = SparkIndex(spark, out2)
+    want = sorted(r["doc_id"] for r in matches_search(idx2, "alpha + tok1").collect())
+    assert got == want and got
