@@ -185,7 +185,11 @@ def _run() -> dict:
     extras["wand_bytes_total"] = wand_stats.get("bytes_total")
     extras["wand_forced_pruned"] = wand_stats.get("pruned")
     # warm latency distribution over the reference query set (north rule:
-    # query p95) — 4 queries x 5 reps = 20 samples
+    # query p95) — 4 queries x 5 reps = 20 samples.  The action is
+    # collect(): serving latency is time-to-top-k-rows-on-driver; the old
+    # count() stacked a second aggregation plan on the k-row result that no
+    # server would run (round-5: measured +30-70 ms of pure plan/schedule
+    # per query at sf0.1)
     lat = []
     for _ in range(5):
         for q in (
@@ -195,7 +199,7 @@ def _run() -> dict:
             "hash join spark",
         ):
             t = time.perf_counter()
-            ranked_search(index, q, mode="bm25", k=10).count()
+            ranked_search(index, q, mode="bm25", k=10).collect()
             lat.append(time.perf_counter() - t)
     lat.sort()
     extras["ranked_bm25_warm_best"] = lat[0]

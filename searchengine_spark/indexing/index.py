@@ -19,6 +19,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# warm() copies the dictionary to the driver below this many terms (~1 KB
+# per term with the block-max arrays): query-time df/block-meta lookups
+# become dict hits instead of per-query Spark jobs.  Above it, lookups stay
+# as pruned collects against the executor-cached table.
+DICT_DRIVER_CACHE_MAX_TERMS = 100_000
+
 
 class SparkIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
@@ -64,7 +70,15 @@ class SparkIndex:
         self.spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         self.spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         self.term_stats = self.term_stats.persist()
-        self.term_stats.count()
+        n_terms = self.term_stats.count()
+        # dictionary to the DRIVER when it fits: term_stats_for then becomes
+        # a Python dict lookup instead of a per-query Spark job (measured
+        # 50-70 ms of every warm query at sf0.1 — pure scheduling, the
+        # matching rows are a handful).  Vocab-gated: beyond the cutoff the
+        # per-query pruned collect remains (a 10^8-term dictionary belongs
+        # in executor memory, not on the driver).
+        if n_terms <= DICT_DRIVER_CACHE_MAX_TERMS:
+            self._dict_cache = {r["term"]: r.asDict() for r in self.term_stats.collect()}
         # touch every postings file's footer + compile the scan pipeline
         self.postings.filter(F.col("term") == "").select("term").count()
         return self
@@ -104,8 +118,12 @@ class SparkIndex:
     def vocabulary(self) -> DataFrame:
         return self.postings.select("term").distinct().orderBy("term")
 
-    # dictionary lookup for a handful of query terms: driver-side tiny collect
+    # dictionary lookup for a handful of query terms: a dict hit when warm()
+    # cached the dictionary driver-side, else a driver-side tiny collect
     def term_stats_for(self, terms: list[str]) -> dict[str, dict]:
+        cache = getattr(self, "_dict_cache", None)
+        if cache is not None:
+            return {t: cache[t] for t in terms if t in cache}
         rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: r.asDict() for r in rows}
 

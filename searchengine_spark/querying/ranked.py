@@ -28,6 +28,18 @@ from ..indexing.build import bm25_wqt, tfidf_wqt
 from ..indexing.index import SparkIndex
 from ..text import preprocess_ranked_query
 
+# Single-stage plan cutoff: when the dictionary says the query's total df is
+# below this, the pruned scan is coalesced to ONE partition — a single
+# partition satisfies the aggregation's distribution requirement, so Catalyst
+# plans scan -> complete hash agg -> TakeOrdered with NO exchange and no
+# second stage.  Warm small-query latency is dominated by per-stage
+# scheduling (two stages + an AQE re-plan), not by data; collapsing to one
+# stage removes that floor.  Above the cutoff (hot terms at corpus scale)
+# the distributed partial+final plan is kept — a 100M-posting term must not
+# aggregate in one task.  The decision input is exact (df from the same
+# dictionary lookup wqt already needs), not a guess.
+SINGLE_STAGE_MAX_POSTINGS = 2_000_000
+
 
 def ranked_search(
     index: SparkIndex,
@@ -73,6 +85,9 @@ def ranked_search(
         clause = F.when(F.col("term") == t, F.lit(w))
         wqt_expr = clause if wqt_expr is None else wqt_expr.when(F.col("term") == t, F.lit(w))
     scored = postings.withColumn("wqt", wqt_expr)
+    total_df = sum(stats[t]["df"] for t in weights)
+    if doc_filter is None and total_df <= SINGLE_STAGE_MAX_POSTINGS:
+        scored = scored.coalesce(1)
 
     agg = scored.groupBy("doc_id").agg(F.sum(F.col("wqt") * F.col(wdt_col)).alias("score"))
     if round_scores is not None:
