@@ -97,7 +97,11 @@ def _audit(stderr_file, orig_fd) -> None:
     p4 = plan_of(ranked)
     sections.append(("Ranked BM25 top-k (K5/K6)", p4))
     checks.append(("top-k via TakeOrderedAndProject", "TakeOrderedAndProject" in p4, "operator present"))
-    checks.append(("partial+final hash aggregation", p4.count("HashAggregate") >= 2, f"HashAggregate x{p4.count('HashAggregate')}"))
+    checks.append(("hash aggregation (no object agg)", "HashAggregate" in p4 and "ObjectHashAggregate" not in p4, f"HashAggregate x{p4.count('HashAggregate')}"))
+    # round-5: small queries (total df under the cutoff) collapse to ONE
+    # stage — the coalesced scan satisfies the agg's distribution, so no
+    # exchange and no second stage appears at all
+    checks.append(("small-query ranked plan is single-stage (no Exchange)", "Exchange" not in p4, "no shuffle in plan"))
     checks.append(
         (
             "scoring inside whole-stage codegen",
