@@ -715,80 +715,6 @@ def _encoded_routed_tokens(
     return routed.select(packed.alias("packed"), "_route")
 
 
-def _doc_stats_types_kernel(vocab_bc):
-    """B5/B6 with ZERO shuffle: per-doc doc_len and Euclidean L_d computed
-    entirely within the types-cache partitions.  Every token of a document
-    lives in one partition (each doc is a single input row to the tokenize
-    kernel), so per-(doc, term) tf — which L_d needs BEFORE squaring — is a
-    partition-local grouping: accumulate (doc_id, term_id) pairs across
-    Arrow batches with periodic compaction, lexsort once per compaction,
-    and reduce.  This replaces the full-token-stream groupBy(term, doc_id)
-    shuffle the string path pays for stats (measured 69-79 s of a 250 s
-    900k-turn build).  Memory: O(live pairs) ≤ compaction threshold +
-    one batch, independent of partition size."""
-
-    def fn(iterator):
-        import numpy as np
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        types_list, tid_for_type = vocab_bc.value
-        value_set = pa.array(types_list, type=pa.string())
-        COMPACT_AT = 4_000_000
-
-        docs_acc: list = []
-        tids_acc: list = []
-        cnts_acc: list = []
-        size = [0]
-
-        def compact():
-            docs_np = np.concatenate(docs_acc)
-            tids_np = np.concatenate(tids_acc)
-            cnts_np = np.concatenate(cnts_acc)
-            order = np.lexsort((tids_np, docs_np))
-            docs_np, tids_np, cnts_np = docs_np[order], tids_np[order], cnts_np[order]
-            n = len(docs_np)
-            change = np.empty(n, dtype=bool)
-            change[0] = True
-            change[1:] = (docs_np[1:] != docs_np[:-1]) | (tids_np[1:] != tids_np[:-1])
-            starts = np.flatnonzero(change)
-            tf = np.add.reduceat(cnts_np, starts)
-            docs_acc.clear(), tids_acc.clear(), cnts_acc.clear()
-            docs_acc.append(docs_np[starts])
-            tids_acc.append(tids_np[starts])
-            cnts_acc.append(tf)
-            size[0] = len(starts)
-            return docs_np[starts], tf
-
-        for pdf in iterator:
-            if not len(pdf):
-                continue
-            arr = pa.Array.from_pandas(pdf["type"], type=pa.string())
-            idx = pc.index_in(arr, value_set=value_set).to_numpy(zero_copy_only=False)
-            docs_acc.append(pdf["doc_id"].to_numpy(dtype=np.int64))
-            tids_acc.append(tid_for_type[idx.astype(np.int64)])
-            cnts_acc.append(np.ones(len(pdf), dtype=np.int64))
-            size[0] += len(pdf)
-            if size[0] >= COMPACT_AT:
-                compact()
-        if not size[0]:
-            return
-        gdoc, tf = compact()
-        dchange = np.empty(len(gdoc), dtype=bool)
-        dchange[0] = True
-        dchange[1:] = gdoc[1:] != gdoc[:-1]
-        dstarts = np.flatnonzero(dchange)
-        doc_len = np.add.reduceat(tf, dstarts)
-        w = np.square(1.0 + np.log(tf.astype(np.float64)))
-        l2 = np.sqrt(np.add.reduceat(w, dstarts))
-        yield pd.DataFrame(
-            {"doc_id": gdoc[dstarts], "doc_len": doc_len, "l2_weight": l2}
-        )
-
-    return fn
-
-
 BROADCAST_WEIGHTS_MAX_DOCS = 4_000_000  # ~100 MB of (doc_id, doc_len, l2)
 # One postings reduce partition ≈ this many docs (~2M token rows, a
 # ~100-200 MB sorted working set).  The range-shuffle partition count is
@@ -1420,13 +1346,25 @@ class IndexBuilder:
         set_desc = spark.sparkContext.setJobDescription
 
         docs = docs.persist()
-        from ..text.spark_tokenize import _types_kernel
+        # fused tokenize+stats pass (round-5): doc stats ride the tokenize
+        # kernel as position=-1 pseudo-rows, so the stats phase costs a
+        # cache-projection read instead of a second full Python-kernel scan
+        # of the token stream (the old _doc_stats_types_kernel pass:
+        # measured 19.6 s of a 142 s width-4 900k-turn build).  Weight
+        # columns stay null on token rows (they reach the postings kernel
+        # by broadcast on this path) — the columnar cache RLE-compresses
+        # them away.
+        from .build_dist import WEIGHTED_TYPES_SCHEMA, _fused_tokenize_stats_kernel
 
-        types = (
+        fused = (
             docs.select("doc_id", "text")
-            .mapInPandas(_types_kernel("text", "doc_id"), schema="doc_id long, position int, type string")
+            .mapInPandas(
+                _fused_tokenize_stats_kernel("text", "doc_id", attach_weights=False),
+                schema=WEIGHTED_TYPES_SCHEMA,
+            )
             .persist()
         )
+        types = fused.filter(F.col("position") >= 0).select("doc_id", "position", "type")
 
         # -- vocab: one tokenize pass materializes the caches; the distinct
         # collect then reads them.  The approx guard keeps an adversarial
@@ -1451,12 +1389,11 @@ class IndexBuilder:
             # (build_dist module) instead of reverting to the string plan
             from .build_dist import build_encoded_dist
 
-            types.unpersist()
+            fused.unpersist()
             return build_encoded_dist(self, docs, n_docs, resume=resume)
         types_list = vocab_pdf["type"].tolist()
         type_counts = vocab_pdf["c"].to_numpy(dtype=np.int64)
         tid_for_type, id2term, empty_tid = _vocab_id_maps(types_list)
-        vocab_bc = spark.sparkContext.broadcast((types_list, tid_for_type))
         id2term_bc = spark.sparkContext.broadcast(id2term)
         # exact per-term token totals (the driver-side partition plan's
         # input) fall out of the same collect
@@ -1466,15 +1403,21 @@ class IndexBuilder:
             term_tokens[empty_tid] = 0  # excluded from the postings stream
         lap("vocab_collect")
 
-        # -- stats: zero-shuffle kernel, ONE collect for corpus stats +
-        # weight arrays; parquet writes overlap the postings phase in a
-        # background thread exactly like _build.
+        # -- stats: already computed by the fused tokenize pass (pseudo
+        # rows) — ONE cache-projection collect serves corpus stats AND the
+        # kernel weight arrays; parquet writes overlap the postings phase
+        # in a background thread exactly like _build.
         stats_done = self._stage_done("doc_stats") and self._stage_done("corpus_stats")
         fresh_stats = not stats_done or not resume
-        set_desc("phase:stats — zero-shuffle doc-stats kernel + fused collect")
+        set_desc("phase:stats — fused-pass pseudo-row collect")
         if fresh_stats:
             stats_pdf = (
-                types.mapInPandas(_doc_stats_types_kernel(vocab_bc), schema=DOC_STATS_SMALL_SCHEMA)
+                fused.filter(F.col("position") < 0)
+                .select(
+                    "doc_id",
+                    F.col("doc_len").cast("long").alias("doc_len"),
+                    "l2_weight",
+                )
                 .toPandas()
             )
         else:
@@ -1494,7 +1437,7 @@ class IndexBuilder:
             if mn < 0 or mx >= 2 * BROADCAST_WEIGHTS_MAX_DOCS:
                 # ids outside any broadcastable dense range: the per-row
                 # weight join path handles arbitrary ids
-                types.unpersist()
+                fused.unpersist()
                 return self._build(docs, resume=resume)
             arr_size = max(n_docs, mx + 1)
         dl_arr = np.zeros(arr_size, dtype=np.float64)
@@ -1631,7 +1574,7 @@ class IndexBuilder:
             postings_partitions=postings_partitions,
             set_desc=set_desc,
             resume=resume,
-            types_cache=types,
+            types_cache=fused,
             packed_cache=packed_cache,
             seg_kernel=seg_kernel,
         )

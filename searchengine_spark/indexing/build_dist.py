@@ -78,9 +78,17 @@ HOT_TYPES_K = 65_536
 TERMS_PER_DICT_PARTITION = 2_000_000
 
 
-def _fused_tokenize_stats_kernel(text_col: str, id_col: str):
+def _fused_tokenize_stats_kernel(text_col: str, id_col: str, attach_weights: bool = True):
     """(doc_id, text) batches -> token rows WITH per-doc weights attached,
     plus one stats pseudo-row (position = -1) per non-empty doc.
+
+    ``attach_weights=False`` (the ENCODED build's variant, where weights
+    reach the kernels by broadcast) leaves the token rows' doc_len/l2
+    columns null — the columnar cache RLE-compresses them to nothing —
+    while still emitting the stats pseudo-rows: doc stats then cost ZERO
+    extra passes (they ride the tokenize pass), which removed the encoded
+    path's separate stats-kernel scan over the cache (round-5 fixed-cost
+    work; measured 19.6 s of a 142 s width-4 900k-turn build).
 
     Composes the T1-T3 Arrow kernel (spark_tokenize._types_kernel — exact
     split/hyphen/cleaning semantics, asserted against the expression twin)
@@ -141,18 +149,21 @@ def _fused_tokenize_stats_kernel(text_col: str, id_col: str):
             doc_len = np.add.reduceat(tf, dstarts)
             w = np.square(1.0 + np.log(tf.astype(np.float64)))
             l2 = np.sqrt(np.add.reduceat(w, dstarts))
-            # per-row weight attach: row doc -> index into udoc (sorted)
-            row_di = np.searchsorted(udoc, docs_np)
             keep = pdf["type"].to_numpy() != ""
-            out = pd.DataFrame(
-                {
-                    "doc_id": docs_np[keep],
-                    "position": pdf["position"].to_numpy(dtype=np.int32)[keep],
-                    "type": pdf["type"].to_numpy()[keep],
-                    "doc_len": doc_len[row_di[keep]].astype(np.int32),
-                    "l2_weight": l2[row_di[keep]],
-                }
-            )
+            out = {
+                "doc_id": docs_np[keep],
+                "position": pdf["position"].to_numpy(dtype=np.int32)[keep],
+                "type": pdf["type"].to_numpy()[keep],
+            }
+            if attach_weights:
+                # per-row weight attach: row doc -> index into udoc (sorted)
+                row_di = np.searchsorted(udoc, docs_np)
+                out["doc_len"] = doc_len[row_di[keep]].astype(np.int32)
+                out["l2_weight"] = l2[row_di[keep]]
+            else:
+                out["doc_len"] = None
+                out["l2_weight"] = None
+            out = pd.DataFrame(out)
             stats = pd.DataFrame(
                 {
                     "doc_id": udoc,
