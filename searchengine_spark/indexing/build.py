@@ -1359,7 +1359,7 @@ class IndexBuilder:
         fused = (
             docs.select("doc_id", "text")
             .mapInPandas(
-                _fused_tokenize_stats_kernel("text", "doc_id", attach_weights=False),
+                _fused_tokenize_stats_kernel("text", "doc_id"),
                 schema=WEIGHTED_TYPES_SCHEMA,
             )
             .persist()

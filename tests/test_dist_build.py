@@ -96,26 +96,26 @@ def test_dist_vocab_overflow_matches_encoded(spark, tricky_docs, encoded_index, 
     _assert_same_index(spark, encoded_index, out)
 
 
-def test_dist_3col_variant_matches_encoded(spark, tricky_docs, encoded_index, tmp_path):  # noqa: F811
-    """Pack-bit budget forced to overflow: the (term_id, doc_id, position)
-    fixed-width variant must produce the same index as the packed-long
-    variant — the 10^12-doc shape where 63 bits no longer fit."""
+def test_dist_striped_plan_matches_encoded(spark, tricky_docs, encoded_index, tmp_path):  # noqa: F811
+    """Route-plan striping forced on (tiny per-partition token target →
+    every term's ksplit > 1 striping path is exercised): the 10^12-doc
+    shape where single terms outweigh whole partitions must still produce
+    the same index."""
     import searchengine_spark.indexing.build as bmod
-    import searchengine_spark.indexing.build_dist as dmod
 
-    out = str(tmp_path / "dist3")
+    out = str(tmp_path / "dist_stripe")
     m = _build_with(
         spark,
         tricky_docs,
         out,
-        [(bmod, "BROADCAST_WEIGHTS_MAX_DOCS", 10), (dmod, "PACK_MAX_BITS", 4)],
+        [(bmod, "BROADCAST_WEIGHTS_MAX_DOCS", 10), (bmod, "DOCS_PER_POSTINGS_PARTITION", 2)],
     )
     assert "dict_assign" in m["metrics"]["phase_seconds"]
     _assert_same_index(spark, encoded_index, out)
 
 
 def test_dist_cold_join_path_exercised(spark, tricky_docs, encoded_index, tmp_path):  # noqa: F811
-    """With the hot slice shrunk to 2 types, most tokens take the COLD
+    """With the hot slice shrunk to 2 terms, most postings take the COLD
     shuffle join — content must be unchanged (hot/cold split is a routing
     optimization, not a semantic fork)."""
     import searchengine_spark.indexing.build as bmod
@@ -126,7 +126,7 @@ def test_dist_cold_join_path_exercised(spark, tricky_docs, encoded_index, tmp_pa
         spark,
         tricky_docs,
         out,
-        [(bmod, "BROADCAST_WEIGHTS_MAX_DOCS", 10), (dmod, "HOT_TYPES_K", 2)],
+        [(bmod, "BROADCAST_WEIGHTS_MAX_DOCS", 10), (dmod, "HOT_TERMS_K", 2)],
     )
     _assert_same_index(spark, encoded_index, out)
 
