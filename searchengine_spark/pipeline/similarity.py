@@ -25,8 +25,18 @@ def _spread(df: DataFrame) -> DataFrame:
     many-partitioned and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
+        # file count is a LOWER bound on scan partitions and comes from the
+        # analyzed plan's file index — no physical planning.  A wide input
+        # (the 100 TB case) short-circuits here without planning the query.
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
+    try:
         # JVM-side partition count: avoids df.rdd's javaToPython conversion,
-        # which rebuilds the plan with a Python-serializer stage per call
+        # which rebuilds the plan with a Python-serializer stage per call.
+        # Only reached for few-file or derived inputs, where the planning
+        # cost is dwarfed by the kernel work _spread is sizing.
         n_parts = df._jdf.rdd().getNumPartitions()
     except Exception:
         n_parts = df.rdd.getNumPartitions()
