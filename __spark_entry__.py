@@ -87,6 +87,45 @@ def _persisted_index(spark: SparkSession, sf_dir: str):
     return _PINDEX_CACHE[key]
 
 
+_DINDEX_CACHE: dict = {}
+
+
+def _persisted_index_dist(spark: SparkSession, sf_dir: str):
+    """Index built through the fully DISTRIBUTED dictionary path
+    (indexing/build_dist.py — map-side SPIMI grouping, distributed sorted
+    term_id assignment, no driver vocab collect).  In production this path
+    engages above BROADCAST_WEIGHTS_MAX_DOCS (4M docs); the gate corpora are
+    tiny, so the cutoff is lowered around the build — the same forcing the
+    parity tests use (tests/test_dist_build.py) — making the over-cutoff
+    plan's artifacts oracle-checked by the driver, not just pytest-checked.
+    Cache/path discipline identical to _persisted_index above."""
+    import hashlib
+    import os
+    import shutil
+
+    ensure_package_on_workers(spark)
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    if key not in _DINDEX_CACHE:
+        from searchengine_spark.indexing import build as bmod
+        from searchengine_spark.indexing.build import build_index
+        from searchengine_spark.indexing.index import SparkIndex
+
+        tag = os.path.basename(os.path.normpath(sf_abs))
+        path_hash = hashlib.md5(sf_abs.encode()).hexdigest()[:8]
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        out = os.path.join(scratch, f"gate_dindex_{os.getpid()}_{tag}_{path_hash}")
+        shutil.rmtree(out, ignore_errors=True)
+        orig = bmod.BROADCAST_WEIGHTS_MAX_DOCS
+        bmod.BROADCAST_WEIGHTS_MAX_DOCS = 1  # force the dist dispatch
+        try:
+            build_index(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), out)
+        finally:
+            bmod.BROADCAST_WEIGHTS_MAX_DOCS = orig
+        _DINDEX_CACHE[key] = SparkIndex(spark, out)
+    return _DINDEX_CACHE[key]
+
+
 _EINDEX_CACHE: dict = {}
 
 
@@ -298,6 +337,26 @@ def q_ranked_bm25_persisted(spark, sf_dir):
     return ranked_search(_persisted_index(spark, sf_dir), RANKED_Q, mode="bm25", k=10, round_scores=4)
 
 
+def q_postings_dist(spark, sf_dir):
+    # B1-B4 through the DISTRIBUTED dictionary build (build_dist.py): the
+    # over-cutoff plan's postings artifact must hash-match the same DuckDB
+    # oracle as the in-session engine's postings
+    return _persisted_index_dist(spark, sf_dir).postings.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.element_at("positions", 1).cast("long").alias("first_pos"),
+        F.element_at("positions", -1).cast("long").alias("last_pos"),
+    )
+
+
+def q_ranked_bm25_dist(spark, sf_dir):
+    # K2/K4/K5 served from the dist-built artifacts (read-back + ranked)
+    return ranked_search(
+        _persisted_index_dist(spark, sf_dir), RANKED_Q, mode="bm25", k=10, round_scores=4
+    )
+
+
 def q_bool_phrase_persisted(spark, sf_dir):
     # positions arrays produced by the numpy kernel, read back from parquet
     return boolean_search(_persisted_index(spark, sf_dir), BOOL_PHRASE_Q)
@@ -345,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_bm25_wand": q_ranked_bm25_wand,
         "ranked_bm25_persisted": q_ranked_bm25_persisted,
         "bool_phrase_persisted": q_bool_phrase_persisted,
+        "postings_dist": q_postings_dist,
+        "ranked_bm25_dist": q_ranked_bm25_dist,
         "vocabulary": q_vocabulary,
         "spell_correct": q_spell_correct,
         "token_count": q_token_count,
@@ -386,6 +447,8 @@ def oracle_sql() -> dict[str, str]:
         "ranked_bm25_wand": dk.sql_ranked(RANKED_Q, "bm25"),
         "ranked_bm25_persisted": dk.sql_ranked(RANKED_Q, "bm25"),
         "bool_phrase_persisted": dk.sql_boolean(BOOL_PHRASE_Q),
+        "postings_dist": dk.sql_postings(),
+        "ranked_bm25_dist": dk.sql_ranked(RANKED_Q, "bm25"),
         "vocabulary": dk.sql_vocabulary(),
         "spell_correct": dk.sql_spell_correct(SPELL_WORDS, top_n=5),
         "token_count": dk.sql_token_count(),

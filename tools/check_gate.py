@@ -2,7 +2,7 @@
 __spark_entry__.queries() entry and its oracle_sql() twin side by side,
 compare row count + column names + order-insensitive values.
 
-Usage: python tools/check_gate.py [sf_dir]
+Usage: python tools/check_gate.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -36,7 +36,13 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -51,6 +57,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
