@@ -913,11 +913,13 @@ class IndexBuilder:
         if not info:
             return False
         if self._iceberg_ok:
-            # an Iceberg stage is done iff its commit was recorded: the
-            # snapshot id in the manifest IS the durable completion marker
-            # (the write either committed that snapshot atomically or left
-            # the previous one)
-            return info.get("snapshot_id") is not None
+            # an Iceberg stage is done iff its commit was recorded; the
+            # committed flag is the durable marker (writeTo() returned, so
+            # the snapshot committed atomically or the write failed whole).
+            # snapshot_id is a best-effort pin — the .snapshots metadata
+            # query can fail AFTER a successful commit, and requiring it
+            # would re-run completed stages forever.
+            return bool(info.get("committed")) or info.get("snapshot_id") is not None
         path = os.path.join(self.out_dir, name)
         return os.path.exists(os.path.join(path, "_SUCCESS"))
 
@@ -927,6 +929,7 @@ class IndexBuilder:
         if sink is not None:
             entry["format"] = "iceberg"
             entry["table"] = sink.get("table")
+            entry["committed"] = bool(sink.get("committed"))
             entry["snapshot_id"] = sink.get("snapshot_id")
         path = os.path.join(self.out_dir, name)
         if os.path.isdir(path):
@@ -1229,6 +1232,18 @@ class IndexBuilder:
             self._mark_stage("term_stats")
             lap("term_stats")
 
+        if not self.doc_terms_artifact:
+            # A rebuild without the opt-in must not leave a previous build's
+            # doc_terms parquet behind: querying._doc_terms trusts any dir
+            # with a _SUCCESS marker, and a stale one would silently answer
+            # matches() from the OLD corpus while boolean/ranked answer from
+            # the new postings.
+            stale = os.path.join(self.out_dir, "doc_terms")
+            if os.path.isdir(stale):
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+            self.manifest.get("stages", {}).pop("doc_terms", None)
         if self.doc_terms_artifact and (not self._stage_done("doc_terms") or not resume):
             set_desc("phase:doc_terms — matches() doc->term-set artifact (opt-in)")
             doc_terms = (

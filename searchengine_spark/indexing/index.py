@@ -30,13 +30,34 @@ class SparkIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-        self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
-        row = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+        self.postings = self._open_artifact("postings")
+        self.doc_stats = self._open_artifact("doc_stats")
+        self.term_stats = self._open_artifact("term_stats")
+        row = self._open_artifact("corpus_stats").collect()[0]
         self.n_docs = int(row["n_docs"])
         self.total_tokens = int(row["total_tokens"])
         self.avgdl = float(row["avgdl"])
+
+    def _open_artifact(self, name: str) -> DataFrame:
+        """Open one index artifact the way the build committed it.  The
+        manifest records per-stage sinks: a stage written as an Iceberg
+        table (IndexBuilder(iceberg_prefix=...) with a live runtime) is
+        read back through the catalog — an index whose artifacts live only
+        as Iceberg snapshots is just as servable as a parquet-dir one.
+        Stages without an iceberg entry (the in-sandbox default) read the
+        parquet directory as before."""
+        manifest = os.path.join(self.index_dir, "manifest.json")
+        if os.path.exists(manifest):
+            try:
+                with open(manifest) as f:
+                    stage = json.load(f).get("stages", {}).get(name, {})
+            except (OSError, json.JSONDecodeError):
+                stage = {}
+            if stage.get("format") == "iceberg" and stage.get("table"):
+                from ..sources.iceberg import read_artifact
+
+                return read_artifact(self.spark, f"iceberg:{stage['table']}")
+        return self.spark.read.parquet(os.path.join(self.index_dir, name))
 
     def warm(self) -> "SparkIndex":
         """Prime the index for serving: pin the dictionary in executor

@@ -25,9 +25,15 @@ def _spread(df: DataFrame) -> DataFrame:
     many-partitioned and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        # file count is a LOWER bound on scan partitions and comes from the
-        # analyzed plan's file index — no physical planning.  A wide input
-        # (the 100 TB case) short-circuits here without planning the query.
+        # inputFiles() comes from the analyzed plan's file index — no
+        # physical planning.  With >= defaultParallelism files the scan
+        # already parallelizes under default conf: FilePartition packing
+        # sizes splits by max(openCostInBytes, totalBytes/minPartitionNum)
+        # capped at maxPartitionBytes, and minPartitionNum defaults to
+        # defaultParallelism — so small files pack into ~parallelism bins
+        # (never a handful), and large files split by size into even more.
+        # A wide input (the 100 TB case) short-circuits here without
+        # planning the query.
         if len(df.inputFiles()) >= target:
             return df
     except Exception:

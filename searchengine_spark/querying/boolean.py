@@ -165,8 +165,12 @@ def _doc_terms(index) -> DataFrame:
 
     cached = getattr(index, "_matches_doc_terms", None)
     if cached is None:
-        art = os.path.join(index.index_dir, "doc_terms")
-        if os.path.exists(os.path.join(art, "_SUCCESS")):
+        # artifact only applies to directory-backed SparkIndex handles;
+        # ad-hoc engines (e.g. the documents-table engine) have no dir and
+        # always take the aggregation path.
+        idx_dir = getattr(index, "index_dir", None)
+        art = os.path.join(idx_dir, "doc_terms") if idx_dir else ""
+        if art and os.path.exists(os.path.join(art, "_SUCCESS")):
             cached = index.postings.sparkSession.read.parquet(art).persist()
             index._matches_doc_terms = cached
             return cached

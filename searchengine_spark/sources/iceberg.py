@@ -170,9 +170,15 @@ def write_artifact(spark: SparkSession, df: DataFrame, target: str) -> dict:
         if not iceberg_available(spark):
             raise IcebergUnavailable(_SUBMIT_HELP)
         df.writeTo(table).using("iceberg").createOrReplace()
+        # committed=True is the durable completion flag: writeTo() returning
+        # means the snapshot committed atomically.  snapshot_id is a best-
+        # effort PIN on top (the .snapshots metadata query can fail on
+        # catalog quirks, and under a concurrent writer the latest snapshot
+        # may not be ours) — resume must not depend on it.
         return {
             "format": "iceberg",
             "table": table,
+            "committed": True,
             "snapshot_id": latest_snapshot_id(spark, table),
         }
     df.write.mode("overwrite").parquet(target)

@@ -294,6 +294,15 @@ class StreamingIndexer:
         listings = {a: self._list_parquet(a) for a in self._MERGE_ARTIFACTS}
         if all(len(v) <= self.max_artifact_files for v in listings.values()):
             return False
+        if "tier_files" not in m:
+            # Index predates tier tracking (built before this feature, or by
+            # IndexBuilder directly): adopt everything on disk as the main
+            # tier rather than treating it all as delta — the latter would
+            # re-sort the ENTIRE index in one merge, the O(index) rewrite
+            # this path exists to avoid.  Only post-adoption appends merge.
+            m["tier_files"] = {a: listings[a] for a in self._MERGE_ARTIFACTS}
+            self._save(m)
+            return False
         tier = m.get("tier_files", {})
         cand = {
             a: [f for f in listings[a] if f not in set(tier.get(a, []))]
@@ -382,7 +391,10 @@ class StreamingIndexer:
             tmp_ts = os.path.join(self.index_dir, "term_stats_tmp")
             ts.write.mode("overwrite").parquet(tmp_ts)
             final_ts = os.path.join(self.index_dir, "term_stats")
-            shutil.rmtree(final_ts)
+            # ignore_errors: a crash after this rmtree but before the
+            # replace leaves no term_stats dir; the journal replay must not
+            # trip over the already-removed directory.
+            shutil.rmtree(final_ts, ignore_errors=True)
             os.replace(tmp_ts, final_ts)
         for art in j["moves"]:
             shutil.rmtree(os.path.join(self.index_dir, f"{art}_merge_tmp"), ignore_errors=True)
