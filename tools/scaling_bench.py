@@ -238,13 +238,25 @@ def main() -> None:
     # when the levels run back-to-back.
     results = {c: None for c in levels}
     all_runs: list[dict] = []
-    for rep in range(reps):
-        for cpus in levels:
+    # Durable per-run record: a crashed ladder (session kill, host wipe of
+    # /dev/shm mid-run — both observed live) must not lose finished reps.
+    runs_jsonl = out_md + ".runs.jsonl"
+
+    def attempt_half(rep: int, cpus: int) -> dict | None:
+        """One build half with up to 2 retries.  A vanished-shuffle-file /
+        killed-JVM crash is an infrastructure event, not a measurement —
+        retrying re-gates on host capacity and reruns cold, so the retried
+        half is protocol-identical to a first attempt."""
+        for attempt in range(3):
             outdir = f"/dev/shm/scaling_index_{cpus}"
             shutil.rmtree(outdir, ignore_errors=True)
             wait_quiet()
             probe = wait_capacity()
-            print(f"=== building at local[{cpus}] rep {rep} (cold process; host probe {probe}) ===", flush=True)
+            print(
+                f"=== building at local[{cpus}] rep {rep} attempt {attempt} "
+                f"(cold process; host probe {probe}) ===",
+                flush=True,
+            )
             # taskset confines the WHOLE process tree (JVM task threads, GC,
             # and Python UDF workers) to exactly `cpus` hardware threads —
             # without it, local[8]'s Arrow workers spill onto extra host
@@ -268,28 +280,50 @@ def main() -> None:
             env["JAVA_TOOL_OPTIONS"] = (
                 "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=25"
             )
-            proc = subprocess.run(
-                [
-                    "taskset", "-c", f"0-{cpus - 1}",
-                    sys.executable, os.path.abspath(__file__),
-                    "--run-one", str(cpus), parquet, outdir,
-                ],
-                capture_output=True,
-                text=True,
-                timeout=3600,
-                env=env,
-            )
-            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+            try:
+                proc = subprocess.run(
+                    [
+                        "taskset", "-c", f"0-{cpus - 1}",
+                        sys.executable, os.path.abspath(__file__),
+                        "--run-one", str(cpus), parquet, outdir,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                    env=env,
+                )
+                out_lines, err_tail = proc.stdout, proc.stderr[-3000:]
+            except subprocess.TimeoutExpired as exc:
+                out_lines, err_tail = (exc.stdout or b"").decode("utf-8", "replace") if isinstance(exc.stdout, bytes) else (exc.stdout or ""), "TIMEOUT after 3600s"
+            line = [ln for ln in out_lines.splitlines() if ln.startswith("RESULT ")]
             if not line:
-                print(proc.stdout[-3000:], proc.stderr[-3000:])
-                raise SystemExit(f"run at {cpus} cpus failed")
+                print(out_lines[-3000:], err_tail, flush=True)
+                print(f"  [retry] run at {cpus} cpus rep {rep} attempt {attempt} failed", flush=True)
+                continue
             r = json.loads(line[0][len("RESULT "):])
             r["host_probe"] = probe
+            if attempt:
+                r["retried"] = attempt
+            return r
+        return None
+
+    for rep in range(reps):
+        for cpus in levels:
+            r = attempt_half(rep, cpus)
+            if r is None:
+                print(f"half FAILED after retries: rep {rep} local[{cpus}] — continuing ladder", flush=True)
+                with open(runs_jsonl, "a") as fh:
+                    fh.write(json.dumps({"level": cpus, "rep": rep, "failed": True}) + "\n")
+                continue
             print(r, flush=True)
             if results[cpus] is None or r["build_s"] < results[cpus]["build_s"]:
                 results[cpus] = r
             all_runs.append({"level": cpus, "rep": rep, **r})
+            with open(runs_jsonl, "a") as fh:
+                fh.write(json.dumps({"level": cpus, "rep": rep, **r}) + "\n")
 
+    if results[n_level] is None or results[xn_level] is None:
+        raise SystemExit("no successful run at one or both levels; see runs jsonl")
     r8, r32 = results[n_level], results[xn_level]
     eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / factor
     q_speedup = r8["query_p95_s"] / r32["query_p95_s"] if r32["query_p95_s"] else float("nan")
