@@ -125,7 +125,9 @@ def main() -> None:
         "results": results,
     }
     print("SUMMARY " + json.dumps(summary))
-    with open(os.path.join(REPO, "evidence", "DIST_VS_ENCODED_r5.json"), "w") as f:
+    # keyed by (convs, cpus) so campaigns at different scales/widths coexist
+    out_name = f"DIST_VS_ENCODED_r5_c{convs}_w{cpus}.json"
+    with open(os.path.join(REPO, "evidence", out_name), "w") as f:
         json.dump(summary, f, indent=2)
 
 
