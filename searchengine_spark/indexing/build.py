@@ -335,7 +335,12 @@ def term_stats_with_block_meta(segments_df: DataFrame, postings_df: DataFrame | 
                 "legacy segments lack sum_tf; pass postings_df to derive df/cf"
             )
         seg_meta = (
-            segments_df.select("term", "max_wdt_bm25", "max_wdt_tfidf_norm")
+            segments_df.select(
+                "term",
+                "max_wdt_bm25",
+                "max_wdt_tfidf_norm",
+                F.octet_length("postings_bin").alias("_blob_bytes"),
+            )
             .groupBy("term")
             .agg(
                 F.slice(F.sort_array(F.collect_list("max_wdt_bm25"), asc=False), 1, 32).alias(
@@ -347,6 +352,7 @@ def term_stats_with_block_meta(segments_df: DataFrame, postings_df: DataFrame | 
                 ).alias("top_block_max_tfidf_norm"),
                 F.min("max_wdt_tfidf_norm").alias("min_block_max_tfidf_norm"),
                 F.count("*").alias("n_blocks"),
+                F.sum("_blob_bytes").alias("postings_bytes"),
             )
         )
         return term_stats_table(postings_df).join(seg_meta, "term", "left")
@@ -364,6 +370,11 @@ def term_stats_with_block_meta(segments_df: DataFrame, postings_df: DataFrame | 
         ).alias("top_block_max_tfidf_norm"),
         F.min("max_wdt_tfidf_norm").alias("min_block_max_tfidf_norm"),
         F.count("*").alias("n_blocks"),
+        # per-term compressed postings footprint: lets a query planner cost
+        # a term's scan from the dictionary, and lets the build's metrics
+        # phase derive segment_bytes_compressed from the (vocab-sized)
+        # dictionary instead of re-scanning the segments table
+        F.sum(F.octet_length("postings_bin")).alias("postings_bytes"),
     )
 
 
@@ -1176,14 +1187,21 @@ class IndexBuilder:
         types_cache=None,
         packed_cache=None,
         seg_kernel=None,
+        postings_writer=None,
+        postings_writer_err=None,
     ) -> dict:
         """Shared build tail: segments, dictionary, metrics, cache release —
         identical for the string-shuffle and dictionary-encoded paths (both
         hand over a sorted-by-(term, doc_id) postings cache/artifact; the
-        packed path hands the compact packed-long cache instead)."""
+        packed path hands the compact packed-long cache instead, with the
+        postings parquet write still running in ``postings_writer`` so the
+        segments encode below overlaps it)."""
         spark = self.spark
         out = self.out_dir
-        postings_df = self._read_stage("postings")
+        # the postings artifact may still be writing in the background; only
+        # paths that never hand over a writer (string path, resumed builds)
+        # read it back before the join below
+        postings_df = None if postings_writer is not None else self._read_stage("postings")
 
         # S5/B4: compressed block-max segments (delta+varbyte blobs; the
         # reference's postings.bin, spimi.py:145-187, plus the varbyte the
@@ -1207,6 +1225,17 @@ class IndexBuilder:
             self._write_stage(seg_df, "segments")
             self._mark_stage("segments")
             lap("segments")
+        if postings_writer is not None:
+            # the segments encode above ran concurrently with the postings
+            # kernel+write; everything past this point reads the postings
+            # artifact back, so join (and surface) the writer first
+            postings_writer.join()
+            if postings_writer_err:
+                raise postings_writer_err[0]
+            self._mark_stage("postings")
+            lap("postings_write_join")
+        if postings_df is None:
+            postings_df = self._read_stage("postings")
         if postings_cache is not None:
             postings_cache.unpersist()
         if packed_cache is not None:
@@ -1223,12 +1252,23 @@ class IndexBuilder:
         # bound and prune-or-fall-through decision from the SAME tiny
         # dictionary collect it already pays — zero extra jobs at query time
         # (wand.py metadata mode).
+        term_stats_cache = None
         if not self._stage_done("term_stats") or not resume:
             set_desc("phase:term_stats — dictionary + block-max meta")
-            term_stats = term_stats_with_block_meta(
+            # persisted: the metrics phase below aggregates the SAME
+            # vocab-sized frame (max/avg df, Σ n_blocks, Σ postings_bytes)
+            # — one segments scan total instead of the three full-table
+            # passes the unfused tail paid (term_stats derive, term_stats
+            # read-back for df stats, segments re-scan for byte totals)
+            term_stats_cache = term_stats_with_block_meta(
                 self._read_stage("segments"), postings_df
+            ).persist()
+            self._write_stage(
+                term_stats_cache.repartitionByRange(
+                    max(1, self.n_partitions // 4), "term"
+                ),
+                "term_stats",
             )
-            self._write_stage(term_stats.repartitionByRange(max(1, self.n_partitions // 4), "term"), "term_stats")
             self._mark_stage("term_stats")
             lap("term_stats")
 
@@ -1276,19 +1316,37 @@ class IndexBuilder:
         n_postings = (
             sum(p["rows"] for p in lineage) if lineage else postings_df.count()
         )
-        df_stats = (
-            self._read_stage("term_stats")
-            .agg(F.max("df").alias("max_df"), F.avg("df").alias("avg_df"))
-            .collect()[0]
+        stats_src = (
+            term_stats_cache
+            if term_stats_cache is not None
+            else self._read_stage("term_stats")
         )
-        seg_stats = (
-            self._read_stage("segments")
-            .agg(
-                F.count("*").alias("n_blocks"),
-                F.sum(F.octet_length("postings_bin")).alias("bytes_compressed"),
+        if "postings_bytes" in stats_src.columns:
+            meta_row = stats_src.agg(
+                F.max("df").alias("max_df"),
+                F.avg("df").alias("avg_df"),
+                F.sum("n_blocks").alias("n_blocks"),
+                F.sum("postings_bytes").alias("bytes_compressed"),
+            ).collect()[0]
+        else:
+            # legacy dictionary artifact (resumed build predating the
+            # postings_bytes column): fall back to the segments scan
+            df_row = stats_src.agg(
+                F.max("df").alias("max_df"), F.avg("df").alias("avg_df")
+            ).collect()[0]
+            seg_row = (
+                self._read_stage("segments")
+                .agg(
+                    F.count("*").alias("n_blocks"),
+                    F.sum(F.octet_length("postings_bin")).alias("bytes_compressed"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
+            meta_row = {**df_row.asDict(), **seg_row.asDict()}
+        df_stats = meta_row
+        seg_stats = meta_row
+        if term_stats_cache is not None:
+            term_stats_cache.unpersist()
         lap("metrics")
         self.manifest["metrics"] = {
             "phase_seconds": phases,
@@ -1299,7 +1357,7 @@ class IndexBuilder:
             "docs_per_sec": n_docs / elapsed if elapsed else None,
             "postings_per_sec": n_postings / elapsed if elapsed else None,
             "skew_ratio_max_df_over_avg_df": (df_stats["max_df"] / df_stats["avg_df"]) if df_stats["avg_df"] else None,
-            "n_segment_blocks": int(seg_stats["n_blocks"]),
+            "n_segment_blocks": int(seg_stats["n_blocks"] or 0),
             "segment_bytes_compressed": int(seg_stats["bytes_compressed"] or 0),
             "n_partitions": self.n_partitions,
             "avgdl": avgdl,
@@ -1514,6 +1572,8 @@ class IndexBuilder:
         postings_cache = None
         packed_cache = None
         seg_kernel = None
+        postings_writer: threading.Thread | None = None
+        postings_writer_err: list[BaseException] = []
         if not self._stage_done("postings") or not resume:
             set_desc("phase:postings — planned packed-long shuffle + kernel + parquet write")
             # bit budget for the single-long key; always fits under the
@@ -1546,16 +1606,41 @@ class IndexBuilder:
                     .sortWithinPartitions("packed")
                     .persist()
                 )
+                # materialize the shuffle+sort+cache with ONE count action
+                # (count over freshly stored columnar batches reads batch
+                # row headers — no decode pass), then fork the two cache
+                # consumers: the postings kernel+parquet write runs in a
+                # BACKGROUND thread while the main thread proceeds into the
+                # segments encode.  The two writes were a serial barrier —
+                # at 900k/width-4 the segments phase (~13 s) ran entirely
+                # after the postings write tail it could hide under; at
+                # width 1 the fork is neutral (same total work, one
+                # scheduler).  _finish joins the writer before anything
+                # reads the postings artifact back.
+                set_desc("phase:postings — planned packed-long shuffle + sort")
+                packed_cache.count()
+                lap("postings_shuffle")
                 kernel = _postings_kernel_packed(
                     avgdl, weights_bc, id2term_bc, d_bits, p_bits
-                )
-                self._write_stage(
-                    packed_cache.mapInPandas(kernel, schema=POSTINGS_SCHEMA),
-                    "postings",
                 )
                 seg_kernel = _segments_kernel_packed(
                     avgdl, weights_bc, id2term_bc, d_bits, p_bits
                 )
+
+                def write_postings() -> None:
+                    try:
+                        set_desc(
+                            "phase:postings-write (background) — kernel + parquet write"
+                        )
+                        self._write_stage(
+                            packed_cache.mapInPandas(kernel, schema=POSTINGS_SCHEMA),
+                            "postings",
+                        )
+                    except BaseException as e:  # surfaced at join()
+                        postings_writer_err.append(e)
+
+                postings_writer = threading.Thread(target=write_postings, daemon=True)
+                postings_writer.start()
             else:
                 enriched = (
                     enc.repartition(postings_partitions, F.col("_route"))
@@ -1565,8 +1650,10 @@ class IndexBuilder:
                 kernel = _postings_kernel(avgdl, weights_bc, id2term_bc)
                 postings_cache = enriched.mapInPandas(kernel, schema=POSTINGS_SCHEMA).persist()
                 self._write_stage(postings_cache, "postings")
-            self._mark_stage("postings")
-            lap("postings")
+            if postings_writer is None:
+                # synchronous (non-packed) write: the artifact is on disk
+                self._mark_stage("postings")
+                lap("postings")
 
         if writer is not None:
             writer.join()
@@ -1592,6 +1679,8 @@ class IndexBuilder:
             types_cache=fused,
             packed_cache=packed_cache,
             seg_kernel=seg_kernel,
+            postings_writer=postings_writer,
+            postings_writer_err=postings_writer_err,
         )
 
 

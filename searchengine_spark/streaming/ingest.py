@@ -45,6 +45,13 @@ def _merge_term_stats(old: DataFrame, delta: DataFrame) -> DataFrame:
     max_wdt_* take the max, block-max top lists concat+resort+slice(32),
     min block maxima take the min, block counts add.  Every combiner is
     associative, so repeated incremental compactions compose exactly."""
+    # a pre-postings_bytes dictionary artifact merges as 0 bytes for the
+    # old tier (the column was introduced with the fused metrics tail)
+    for col in ("postings_bytes",):
+        if col not in old.columns:
+            old = old.withColumn(col, F.lit(0).cast("long"))
+        if col not in delta.columns:
+            delta = delta.withColumn(col, F.lit(0).cast("long"))
     o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
     d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
     j = o.join(d, o["o_term"] == d["d_term"], "full_outer")
@@ -80,6 +87,7 @@ def _merge_term_stats(old: DataFrame, delta: DataFrame) -> DataFrame:
         top32("top_block_max_tfidf_norm"),
         mn("min_block_max_tfidf_norm"),
         add("n_blocks"),
+        add("postings_bytes"),
     )
 
 
