@@ -174,3 +174,64 @@ def test_spark_index_opens_iceberg_artifacts_via_manifest(
     assert len(calls) == 4
     assert idx.n_docs == ref.n_docs
     assert idx.postings.count() == ref.postings.count()
+
+
+def test_background_postings_write_failure_surfaces(tmp_path_factory, spark, monkeypatch):
+    """The postings parquet write runs in a background thread overlapped
+    with the segments encode; a failure there must fail the BUILD (at the
+    join before anything reads the artifact back), never yield an index
+    with segments but no postings."""
+    from searchengine_spark.indexing.build import IndexBuilder
+
+    out = str(tmp_path_factory.mktemp("overlap_fail"))
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 5}") for i in range(40)], "doc_id long, text string"
+    )
+    builder = IndexBuilder(spark, out)
+    orig = IndexBuilder._write_stage
+
+    def failing(self, df, name):
+        if name == "postings":
+            raise RuntimeError("injected postings write failure")
+        return orig(self, df, name)
+
+    monkeypatch.setattr(IndexBuilder, "_write_stage", failing)
+    with pytest.raises(RuntimeError, match="injected postings write failure"):
+        builder.build(docs)
+    # the failed stage must not be marked done in the manifest
+    assert "postings" not in builder.manifest.get("stages", {})
+
+
+def test_fused_metrics_match_direct_recompute(tmp_path_factory, spark):
+    """segment_bytes_compressed / n_segment_blocks now come from the
+    dictionary's per-term postings_bytes aggregation; they must equal a
+    direct scan of the segments table, and the dictionary's per-term bytes
+    must sum blob-for-blob."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.indexing.build import build_index
+
+    out = str(tmp_path_factory.mktemp("fused_metrics"))
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 17}" for j in range(12))) for i in range(120)],
+        "doc_id long, text string",
+    )
+    m = build_index(spark, docs, out)
+    seg = spark.read.parquet(os.path.join(out, "segments"))
+    direct = seg.agg(
+        F.count("*").alias("b"), F.sum(F.octet_length("postings_bin")).alias("s")
+    ).collect()[0]
+    assert m["metrics"]["n_segment_blocks"] == direct["b"]
+    assert m["metrics"]["segment_bytes_compressed"] == direct["s"]
+    ts = spark.read.parquet(os.path.join(out, "term_stats"))
+    per_term = {
+        r["term"]: r["postings_bytes"]
+        for r in ts.select("term", "postings_bytes").collect()
+    }
+    per_term_direct = {
+        r["term"]: r["s"]
+        for r in seg.groupBy("term")
+        .agg(F.sum(F.octet_length("postings_bin")).alias("s"))
+        .collect()
+    }
+    assert per_term == per_term_direct
