@@ -185,6 +185,15 @@ def ranked_search_wand(
                 "tops": [float(v) for v in (stats_rows[t][top_col] or [])],
                 "n_blocks": int(stats_rows[t]["n_blocks"]),
                 "min_max": float(stats_rows[t][min_col]),
+                # per-term compressed footprint (dictionaries built after
+                # the postings_bytes column): lets the amortization gate
+                # below reason in actual bytes instead of the block-count
+                # proxy.  None on older dictionaries.
+                "bytes": (
+                    int(stats_rows[t]["postings_bytes"])
+                    if stats_rows[t].get("postings_bytes") is not None
+                    else None
+                ),
             }
             for t in weights
         }
@@ -210,6 +219,10 @@ def ranked_search_wand(
                 "tops": [float(v) for v in r["tops"]],
                 "n_blocks": int(r["n_blocks"]),
                 "min_max": float(r["min_max_wdt"]),
+                # this path reads segment METADATA only (no blob column);
+                # summing blob lengths would force a blob scan, so the
+                # amortization gate keeps the block-count proxy here
+                "bytes": None,
             }
             for r in per_term
         }
@@ -319,7 +332,18 @@ def ranked_search_wand(
     prune_viable = not (min_ub is not None and theta_eff <= min_ub)
     if prune_viable and term_meta is not None:
         total_blocks = sum(m["n_blocks"] for m in term_meta.values())
-        if total_blocks < min_blocks_to_prune:
+        term_bytes = [m.get("bytes") for m in term_meta.values()]
+        if min_blocks_to_prune <= 0:
+            pass  # amortization gate force-disabled (diagnostics / tests)
+        elif all(b is not None for b in term_bytes):
+            # dictionary carries per-term compressed footprints: gate on
+            # ACTUAL bytes the prune could avoid scanning.  The byte
+            # equivalent of the 4096-block proxy (~500k postings at ~3-4
+            # compressed bytes/posting) is ~2 MB; scale with the caller's
+            # block threshold so a tuned threshold tunes both gates.
+            if sum(term_bytes) < min_blocks_to_prune * 512:
+                prune_viable = False
+        elif total_blocks < min_blocks_to_prune:
             prune_viable = False
         elif all(len(m["tops"]) == m["n_blocks"] for m in term_meta.values()):
             surviving = 0
