@@ -563,6 +563,150 @@ def _segments_kernel_packed(avgdl: float, weights_bc, id2term_bc, d_bits: int, p
     return fn
 
 
+_SEGMENT_PA_FIELDS = (
+    ("term", "string"),
+    ("n_postings", "int32"),
+    ("doc_id_min", "int64"),
+    ("doc_id_max", "int64"),
+    ("max_wdt_bm25", "float64"),
+    ("max_wdt_tfidf_norm", "float64"),
+    ("sum_tf", "int64"),
+    ("postings_bin", "binary"),
+)
+
+
+def _postings_segments_kernel_packed(
+    avgdl: float, weights_bc, id2term_bc, d_bits: int, p_bits: int, seg_dir: str
+):
+    """ONE pass over the sorted packed-long partitions cuts BOTH artifacts:
+    the kernel yields the postings rows (Spark's parquet sink writes them)
+    and side-writes its partition's block-max segment rows as one parquet
+    part file via pyarrow — same rows `_segments_kernel_packed` would emit,
+    written while the group/weight arrays are still hot instead of from a
+    persisted cache in a second job.  Measured alternatives at 900k/width 4:
+    persist + second pass ≈ +13 s; persist + two CONCURRENT consumer jobs
+    ≈ +17 s (DRAM contention on pinned cores).  Task retries are
+    idempotent: the part file is named by partition id and committed with
+    write-to-tmp + atomic rename; the _SUCCESS marker is written only
+    after the whole job returns (_finalize_side_segments)."""
+
+    def fn(iterator):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from searchengine_spark.indexing.codec import encode_block
+        from searchengine_spark.indexing.segments import BLOCK_SIZE
+
+        dl_arr, l2_arr = weights_bc.value
+        id2term = id2term_bc.value
+        pmask = (1 << p_bits) - 1
+        dmask = (1 << d_bits) - 1
+
+        chunks = [pdf["packed"].to_numpy(dtype=np.int64) for pdf in iterator if len(pdf)]
+        if not chunks:
+            return
+        packed = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        del chunks
+        n = len(packed)
+        group = packed >> p_bits
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = group[1:] != group[:-1]
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, n)).astype(np.int64)
+        gkey = group[starts]
+        doc = (gkey & dmask).astype(np.int64)
+        tid = gkey >> d_bits
+        flat_pos = (packed & pmask).astype(np.int64)
+        del packed, group, change
+        # per-posting weights — one computation serves both artifacts, so
+        # segment block maxima match the postings values bit-for-bit
+        dl = dl_arr[doc]
+        l2 = l2_arr[doc]
+        tf_f = tf.astype(np.float64)
+        w_bm = ((BM25_K1 + 1.0) * tf_f) / (
+            BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)) + tf_f
+        )
+        w_ti = (1.0 + np.log(tf_f)) / l2
+        pos_off = np.concatenate(([0], np.cumsum(tf))).astype(np.int64)
+
+        # -- segments side file (term runs -> BLOCK_SIZE blocks)
+        tchange = np.empty(len(tid), dtype=bool)
+        tchange[0] = True
+        tchange[1:] = tid[1:] != tid[:-1]
+        tstarts = np.flatnonzero(tchange)
+        tends = np.append(tstarts[1:], len(tid))
+        run_terms = id2term[tid[tstarts]]
+        out = {k: [] for k in (
+            "term", "n_postings", "doc_id_min", "doc_id_max",
+            "max_wdt_bm25", "max_wdt_tfidf_norm", "sum_tf", "postings_bin",
+        )}
+        for ti in range(len(tstarts)):
+            s0, e0 = int(tstarts[ti]), int(tends[ti])
+            term = run_terms[ti]
+            for s in range(s0, e0, BLOCK_SIZE):
+                e = min(s + BLOCK_SIZE, e0)
+                out["term"].append(term)
+                out["n_postings"].append(e - s)
+                out["doc_id_min"].append(int(doc[s]))
+                out["doc_id_max"].append(int(doc[e - 1]))
+                out["max_wdt_bm25"].append(float(w_bm[s:e].max()))
+                out["max_wdt_tfidf_norm"].append(float(w_ti[s:e].max()))
+                out["sum_tf"].append(int(tf[s:e].sum()))
+                out["postings_bin"].append(
+                    encode_block(doc[s:e], tf[s:e], flat_pos[pos_off[s] : pos_off[e]])
+                )
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        schema = pa.schema([(nm, getattr(pa, ty)()) for nm, ty in _SEGMENT_PA_FIELDS])
+        table = pa.Table.from_pydict({k: out[k] for k, _ in _SEGMENT_PA_FIELDS}, schema=schema)
+        final = os.path.join(seg_dir, f"part-{pid:05d}-fused.parquet")
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, final)
+        del out, table
+
+        # -- postings rows, yielded in bounded chunks (positions are
+        # zero-copy views of the flat array; the Arrow serializer slices
+        # each chunk into maxRecordsPerBatch batches)
+        terms_all = id2term[tid]
+        CH = 1 << 18
+        for c0 in range(0, len(starts), CH):
+            c1 = min(c0 + CH, len(starts))
+            sl = flat_pos[pos_off[c0] : pos_off[c1]]
+            local_split = (pos_off[c0 + 1 : c1] - pos_off[c0]).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "term": terms_all[c0:c1],
+                    "doc_id": doc[c0:c1],
+                    "tf": tf[c0:c1],
+                    "positions": np.split(sl, local_split),
+                    "wdt_bm25": w_bm[c0:c1],
+                    "wdt_tfidf_norm": w_ti[c0:c1],
+                }
+            )
+
+    return fn
+
+
+def _finalize_side_segments(spark: SparkSession, seg_dir: str) -> None:
+    """Commit the side-written segments dir: an empty partition set still
+    needs a schema-carrying parquet file (a bare dir fails schema
+    inference on read-back), and the _SUCCESS marker lands only after the
+    producing job returned — the same completion contract as a Spark
+    sink, so _stage_done/resume semantics are unchanged."""
+    from .segments import SEGMENT_SCHEMA
+
+    if not any(f.endswith(".parquet") for f in os.listdir(seg_dir)):
+        spark.createDataFrame([], SEGMENT_SCHEMA).write.mode("overwrite").parquet(seg_dir)
+        return  # Spark's committer wrote _SUCCESS
+    with open(os.path.join(seg_dir, "_SUCCESS"), "w"):
+        pass
+
+
 def _murmur3_hash_int(value: int, seed: int = 42) -> int:
     """Spark-compatible Murmur3_x86_32.hashInt (the hash behind
     HashPartitioning / F.hash for IntegerType, seed 42) — public MurmurHash3
@@ -1187,28 +1331,28 @@ class IndexBuilder:
         types_cache=None,
         packed_cache=None,
         seg_kernel=None,
-        postings_writer=None,
-        postings_writer_err=None,
+        segments_done=False,
     ) -> dict:
         """Shared build tail: segments, dictionary, metrics, cache release —
         identical for the string-shuffle and dictionary-encoded paths (both
         hand over a sorted-by-(term, doc_id) postings cache/artifact; the
-        packed path hands the compact packed-long cache instead, with the
-        postings parquet write still running in ``postings_writer`` so the
-        segments encode below overlaps it)."""
+        packed path hands the compact packed-long cache instead — or, on
+        the fused-sink path, arrives with BOTH artifacts already written
+        and every cache argument None)."""
         spark = self.spark
         out = self.out_dir
-        # the postings artifact may still be writing in the background; only
-        # paths that never hand over a writer (string path, resumed builds)
-        # read it back before the join below
-        postings_df = None if postings_writer is not None else self._read_stage("postings")
+        postings_df = self._read_stage("postings")
 
         # S5/B4: compressed block-max segments (delta+varbyte blobs; the
         # reference's postings.bin, spimi.py:145-187, plus the varbyte the
         # north rule adds) — encoded from the cached sorted packed longs
         # (encoded path) or postings rows when the stage runs in the same
         # build, else from a re-sorted read-back.
-        if not self._stage_done("segments") or not resume:
+        # segments_done: the fused-sink postings pass already side-wrote and
+        # marked this build's segments — fresh builds ignore stage markers
+        # (they only gate resume), so the flag is the signal that the
+        # artifact is THIS build's output, not a stale leftover
+        if not segments_done and (not self._stage_done("segments") or not resume):
             from .segments import SEGMENT_SCHEMA, encode_segments
 
             set_desc("phase:segments — varbyte block encode + write")
@@ -1225,17 +1369,6 @@ class IndexBuilder:
             self._write_stage(seg_df, "segments")
             self._mark_stage("segments")
             lap("segments")
-        if postings_writer is not None:
-            # the segments encode above ran concurrently with the postings
-            # kernel+write; everything past this point reads the postings
-            # artifact back, so join (and surface) the writer first
-            postings_writer.join()
-            if postings_writer_err:
-                raise postings_writer_err[0]
-            self._mark_stage("postings")
-            lap("postings_write_join")
-        if postings_df is None:
-            postings_df = self._read_stage("postings")
         if postings_cache is not None:
             postings_cache.unpersist()
         if packed_cache is not None:
@@ -1572,8 +1705,7 @@ class IndexBuilder:
         postings_cache = None
         packed_cache = None
         seg_kernel = None
-        postings_writer: threading.Thread | None = None
-        postings_writer_err: list[BaseException] = []
+        fused_segments_done = False
         if not self._stage_done("postings") or not resume:
             set_desc("phase:postings — planned packed-long shuffle + kernel + parquet write")
             # bit budget for the single-long key; always fits under the
@@ -1595,52 +1727,62 @@ class IndexBuilder:
                 pack_bits=pack_bits,
             )
             if pack_bits is not None:
-                # persist the 8-byte/token packed column, NOT the wide
-                # postings output: both the postings write and the segments
-                # encode re-derive their rows from it with vectorized
-                # shift/compare kernels.  The wide persist (term strings +
-                # position arrays) was the segments phase's scaling killer.
-                packed_cache = (
+                sorted_packed = (
                     enc.repartition(postings_partitions, F.col("_route"))
                     .select("packed")
                     .sortWithinPartitions("packed")
-                    .persist()
                 )
-                # materialize the shuffle+sort+cache with ONE count action
-                # (count over freshly stored columnar batches reads batch
-                # row headers — no decode pass), then fork the two cache
-                # consumers: the postings kernel+parquet write runs in a
-                # BACKGROUND thread while the main thread proceeds into the
-                # segments encode.  The two writes were a serial barrier —
-                # at 900k/width-4 the segments phase (~13 s) ran entirely
-                # after the postings write tail it could hide under; at
-                # width 1 the fork is neutral (same total work, one
-                # scheduler).  _finish joins the writer before anything
-                # reads the postings artifact back.
-                set_desc("phase:postings — planned packed-long shuffle + sort")
-                packed_cache.count()
-                lap("postings_shuffle")
-                kernel = _postings_kernel_packed(
-                    avgdl, weights_bc, id2term_bc, d_bits, p_bits
+                fuse_segments = not self._iceberg_ok and (
+                    not self._stage_done("segments") or not resume
                 )
-                seg_kernel = _segments_kernel_packed(
-                    avgdl, weights_bc, id2term_bc, d_bits, p_bits
-                )
+                if fuse_segments:
+                    # ONE pass cuts BOTH artifacts: the kernel emits the
+                    # postings rows (Spark's parquet sink) AND side-writes
+                    # its partition's segment blocks as a parquet part file
+                    # (pyarrow, tmp+rename so a task retry is idempotent).
+                    # The alternatives both lose on this memory-bound stage:
+                    # a persisted packed cache + second segments pass pays a
+                    # cache store and a full decompress re-scan (~13 s/900k
+                    # at width 4), and overlapping two cache consumers as
+                    # concurrent jobs measured WORSE (145 s vs 120 s walls —
+                    # two streaming kernels thrash the pinned cores' DRAM
+                    # bandwidth).  One sorted stream, touched once, nothing
+                    # persisted.  Iceberg sinks keep the two-pass shape
+                    # (segments must go through the snapshot commit).
+                    import shutil
 
-                def write_postings() -> None:
-                    try:
-                        set_desc(
-                            "phase:postings-write (background) — kernel + parquet write"
-                        )
-                        self._write_stage(
-                            packed_cache.mapInPandas(kernel, schema=POSTINGS_SCHEMA),
-                            "postings",
-                        )
-                    except BaseException as e:  # surfaced at join()
-                        postings_writer_err.append(e)
-
-                postings_writer = threading.Thread(target=write_postings, daemon=True)
-                postings_writer.start()
+                    seg_dir = self._stage_target("segments")
+                    shutil.rmtree(seg_dir, ignore_errors=True)
+                    os.makedirs(seg_dir, exist_ok=True)
+                    set_desc(
+                        "phase:postings+segments — one packed pass, fused sinks"
+                    )
+                    kernel = _postings_segments_kernel_packed(
+                        avgdl, weights_bc, id2term_bc, d_bits, p_bits, seg_dir
+                    )
+                    self._write_stage(
+                        sorted_packed.mapInPandas(kernel, schema=POSTINGS_SCHEMA),
+                        "postings",
+                    )
+                    _finalize_side_segments(spark, seg_dir)
+                    self._mark_stage("postings")
+                    self._mark_stage("segments")
+                    fused_segments_done = True
+                    lap("postings_segments")
+                else:
+                    packed_cache = sorted_packed.persist()
+                    kernel = _postings_kernel_packed(
+                        avgdl, weights_bc, id2term_bc, d_bits, p_bits
+                    )
+                    self._write_stage(
+                        packed_cache.mapInPandas(kernel, schema=POSTINGS_SCHEMA),
+                        "postings",
+                    )
+                    seg_kernel = _segments_kernel_packed(
+                        avgdl, weights_bc, id2term_bc, d_bits, p_bits
+                    )
+                    self._mark_stage("postings")
+                    lap("postings")
             else:
                 enriched = (
                     enc.repartition(postings_partitions, F.col("_route"))
@@ -1650,8 +1792,6 @@ class IndexBuilder:
                 kernel = _postings_kernel(avgdl, weights_bc, id2term_bc)
                 postings_cache = enriched.mapInPandas(kernel, schema=POSTINGS_SCHEMA).persist()
                 self._write_stage(postings_cache, "postings")
-            if postings_writer is None:
-                # synchronous (non-packed) write: the artifact is on disk
                 self._mark_stage("postings")
                 lap("postings")
 
@@ -1679,8 +1819,7 @@ class IndexBuilder:
             types_cache=fused,
             packed_cache=packed_cache,
             seg_kernel=seg_kernel,
-            postings_writer=postings_writer,
-            postings_writer_err=postings_writer_err,
+            segments_done=fused_segments_done,
         )
 
 

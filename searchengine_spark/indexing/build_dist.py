@@ -495,8 +495,6 @@ def build_encoded_dist(builder, docs: DataFrame, n_docs: int, resume: bool = Fal
 
     routed_cache = None
     seg_kernel = None
-    postings_writer: threading.Thread | None = None
-    postings_writer_err: list[BaseException] = []
     postings_partitions = max(
         getattr(builder, "_sp_build", builder.n_partitions),
         -(-n_docs // B.DOCS_PER_POSTINGS_PARTITION) if n_docs else 1,
@@ -557,42 +555,32 @@ def build_encoded_dist(builder, docs: DataFrame, n_docs: int, resume: bool = Fal
             .sortWithinPartitions("term", "doc_id")
             .persist()
         )
-        # materialize the routed+sorted cache once (count over stored
-        # columnar batches), then overlap the two cache consumers exactly
-        # like the encoded path: the postings projection+write runs in a
-        # background thread while _finish's segments encode (the heavier
-        # consumer on this path — numpy block kernel) takes the main thread.
-        set_desc("phase:postings — hot/cold plan join + planned route shuffle")
-        routed_cache.count()
-        plan.unpersist()
-        lap("postings_shuffle")
         # postings write: pure JVM projection (module docstring) — BM25 is
         # log-free arithmetic with avgdl as a literal; the expression shape
         # matches the segment kernel's numpy recompute term-for-term.
+        # (Running this write concurrently with the segments kernel was
+        # measured WORSE on pinned cores — two streaming consumers thrash
+        # DRAM bandwidth — so the tail stays serial here.)
         tf_d = F.col("tf").cast("double")
         wdt_bm25 = ((BM25_K1 + 1.0) * tf_d) / (
             BM25_K1
             * ((1.0 - BM25_B) + BM25_B * (F.col("doc_len").cast("double") / F.lit(avgdl)))
             + tf_d
         )
-        postings_out = routed_cache.select(
-            "term",
-            "doc_id",
-            F.col("tf").cast("long").alias("tf"),
-            F.col("positions").cast("array<long>").alias("positions"),
-            wdt_bm25.alias("wdt_bm25"),
-            F.col("w").alias("wdt_tfidf_norm"),
+        builder._write_stage(
+            routed_cache.select(
+                "term",
+                "doc_id",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("positions").cast("array<long>").alias("positions"),
+                wdt_bm25.alias("wdt_bm25"),
+                F.col("w").alias("wdt_tfidf_norm"),
+            ),
+            "postings",
         )
-
-        def write_postings() -> None:
-            try:
-                set_desc("phase:postings-write (background) — projection + parquet write")
-                builder._write_stage(postings_out, "postings")
-            except BaseException as e:  # surfaced at _finish's join()
-                postings_writer_err.append(e)
-
-        postings_writer = threading.Thread(target=write_postings, daemon=True)
-        postings_writer.start()
+        builder._mark_stage("postings")
+        plan.unpersist()
+        lap("postings")
         seg_kernel = _segments_kernel_dist(avgdl)
         postings_partitions = n_parts
 
@@ -620,6 +608,4 @@ def build_encoded_dist(builder, docs: DataFrame, n_docs: int, resume: bool = Fal
         types_cache=grouped,
         packed_cache=routed_cache,
         seg_kernel=seg_kernel,
-        postings_writer=postings_writer,
-        postings_writer_err=postings_writer_err,
     )

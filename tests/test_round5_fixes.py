@@ -177,10 +177,10 @@ def test_spark_index_opens_iceberg_artifacts_via_manifest(
 
 
 def test_background_postings_write_failure_surfaces(tmp_path_factory, spark, monkeypatch):
-    """The postings parquet write runs in a background thread overlapped
-    with the segments encode; a failure there must fail the BUILD (at the
-    join before anything reads the artifact back), never yield an index
-    with segments but no postings."""
+    """A postings-stage write failure must fail the BUILD and leave the
+    stage unmarked for resume — on the fused-sink path the segments side
+    files are committed by the same job, so neither artifact may be
+    marked done."""
     from searchengine_spark.indexing.build import IndexBuilder
 
     out = str(tmp_path_factory.mktemp("overlap_fail"))
